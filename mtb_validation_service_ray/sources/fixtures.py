@@ -1,0 +1,336 @@
+"""Deterministic image-table fixture generator + corruption matrix.
+
+Mirrors the reference's test strategy — *generate a valid record, apply
+deterministic invalidators, assert the violations*
+(Tests.scala:26-56, Invalidators.scala:25-109) — upgraded to golden
+row-for-row equality on the violations table (FIXTURES.md §3/§4).
+
+Everything is seed-pinned and platform-stable (splitmix64 + Philox); the
+same code generates 1k-row unit fixtures driver-side and multi-million
+row bench tables through a Ray ``range → map_batches`` pipeline
+(no external data, no network).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codec
+from ..schema import IMAGE_SCHEMA_PARTITIONED, PARTITION_COL
+
+# caption vocabulary — the first word is the referential key
+# (caption_key = first word lowercased; caption_refs = this key list)
+CAPTION_KEYS = (
+    "red green blue golden silver small large bright dark fuzzy striped spotted "
+    "young old happy quiet loud swift lazy curious"
+).split()
+CAPTION_NOUNS = (
+    "cat dog bird fish horse tiger fox owl bear deer whale crane lizard rabbit"
+).split()
+CAPTION_VERBS = "sits runs sleeps jumps waits watches plays hides swims stands".split()
+CAPTION_PLACES = (
+    "meadow forest river harbor rooftop garden desert canyon market library"
+).split()
+
+FMT_WEIGHTS = {"png": 0.90, "raw": 0.06, "lossy": 0.04}  # skewed on purpose
+HOT_DIM = (64, 64)  # 70% of rows share one dimension mode (skew fixture)
+PHASH_HOT_CLUSTER_FRACTION = 0.05  # forced hot phash value (skew fixture)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Bijective 64-bit mixer — unique ids from unique indices."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def make_image_rows(
+    start: int, count: int, *, seed: int = 42, total: int | None = None,
+    n_partitions: int = 8,
+) -> pa.Table:
+    """Generate rows [start, start+count) of the valid image table.
+
+    Pure function of (start, count, seed, total, n_partitions) → usable
+    as a ``map_batches`` body over ``ray.data.range`` for large scales
+    and directly for unit fixtures."""
+    total = total if total is not None else start + count
+    idx = np.arange(start, start + count, dtype=np.uint64)
+    mixed = _splitmix64(idx + np.uint64(seed) * np.uint64(0x1000003))
+    rng = np.random.Generator(np.random.Philox(key=seed, counter=start))
+
+    image_ids = [f"img-{int(m):016x}" for m in mixed]
+
+    # dims: 70% hot mode, rest mixture of small sizes (skew by design)
+    hot = rng.random(count) < 0.70
+    w = np.where(hot, HOT_DIM[0], rng.integers(16, 129, count)).astype(np.int32)
+    h = np.where(hot, HOT_DIM[1], rng.integers(16, 129, count)).astype(np.int32)
+
+    fmts = rng.choice(
+        np.array(list(FMT_WEIGHTS)), size=count, p=np.array(list(FMT_WEIGHTS.values()))
+    )
+
+    keys = rng.choice(np.array(CAPTION_KEYS), count)
+    nouns = rng.choice(np.array(CAPTION_NOUNS), count)
+    verbs = rng.choice(np.array(CAPTION_VERBS), count)
+    places = rng.choice(np.array(CAPTION_PLACES), count)
+    captions = [f"{k} {n} {v} in the {p}" for k, n, v, p in zip(keys, nouns, verbs, places)]
+
+    payloads: list[bytes] = []
+    phashes = np.empty(count, dtype=np.int64)
+    hot_phash = rng.random(count) < PHASH_HOT_CLUSTER_FRACTION
+    for i in range(count):
+        px = codec.pixels_for_id(image_ids[i], int(w[i]), int(h[i]))
+        payloads.append(codec.encode(px, str(fmts[i])))
+        phashes[i] = codec.phash(px)
+    # forced hot cluster: overwrite phash of a slice with one value
+    # (keeps skew realistic for the salting fixtures; these rows still
+    # pass R-XF-PSNR because the integrity rule keys off decoded pixels
+    # only when the stored phash is *not* the hot sentinel — see
+    # stages/decode_pass.py's hot-cluster carve-out)  -- simpler: hot
+    # cluster rows keep their true phash but share dims+fmt, giving the
+    # groupby skew without breaking the integrity invariant.
+    del hot_phash
+
+    partition_ids = (idx * np.uint64(n_partitions) // np.uint64(max(total, 1))).astype(
+        np.int32
+    )
+    np.clip(partition_ids, 0, n_partitions - 1, out=partition_ids)
+
+    return pa.table(
+        {
+            "image_id": pa.array(image_ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "w": pa.array(w, pa.int32()),
+            "h": pa.array(h, pa.int32()),
+            "fmt": pa.array([str(f) for f in fmts], pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+            PARTITION_COL: pa.array(partition_ids, pa.int32()),
+        },
+        schema=IMAGE_SCHEMA_PARTITIONED,
+    )
+
+
+def caption_refs_table() -> pa.Table:
+    """Valid referenced key set (semi-join target) — analog of the
+    reference's supportingFindings index (MTBValidators.scala:669-678)."""
+    return pa.table({"caption_key": pa.array(sorted(CAPTION_KEYS), pa.string())})
+
+
+def annotations_table(images: pa.Table, *, drop_ids: list[str] | None = None) -> pa.Table:
+    """Companion table; images lacking an annotation ⇒ orphan warning
+    (anti-join; ~ claim/claimResponse check, MTBValidators.scala:621-623)."""
+    drop = set(drop_ids or [])
+    ids = [i for i in images.column("image_id").to_pylist() if i is not None and i not in drop]
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "note": pa.array([f"note for {i}" for i in ids], pa.string()),
+        }
+    )
+
+
+# --- corruption matrix (Invalidators.scala analog) -------------------------
+
+
+@dataclass
+class Corruption:
+    """One applied mutator + its exact expected golden violations."""
+
+    table: pa.Table
+    golden: list[dict] = field(default_factory=list)  # record_id/rule_id/severity/path
+    touched_rows: set[int] = field(default_factory=set)
+
+
+def _set_cell(table: pa.Table, row: int, col: str, value) -> pa.Table:
+    arr = table.column(col)
+    py = arr.to_pylist()
+    py[row] = value
+    return table.set_column(
+        table.column_names.index(col), col, pa.array(py, arr.type)
+    )
+
+
+class Invalidators:
+    """Deterministic corruption functions.  Each returns the mutated
+    table and appends the expected golden violation rows — the engine's
+    analog of the reference's 7 ``invalidate`` overloads
+    (Invalidators.scala:25-109)."""
+
+    @staticmethod
+    def _rid(table: pa.Table, row: int) -> str:
+        return table.column("image_id")[row].as_py()
+
+    @staticmethod
+    def _pid(table: pa.Table, row: int) -> int:
+        return table.column(PARTITION_COL)[row].as_py()
+
+    @classmethod
+    def null_caption(cls, c: Corruption, row: int) -> None:
+        c.table = _set_cell(c.table, row, "caption", None)
+        c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-PR-CAPTION",
+                             severity="warning", path="/caption"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def empty_bytes(cls, c: Corruption, row: int) -> None:
+        c.table = _set_cell(c.table, row, "bytes", b"")
+        c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-PR-BYTES",
+                             severity="error", path="/bytes"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def bad_fmt(cls, c: Corruption, row: int) -> None:
+        c.table = _set_cell(c.table, row, "fmt", "webp?")
+        c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-VS-FMT",
+                             severity="error", path="/fmt"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def bad_id_regex(cls, c: Corruption, row: int) -> None:
+        c.table = _set_cell(c.table, row, "image_id", "IMG_1")
+        c.golden.append(dict(record_id="IMG_1", rule_id="R-RE-ID",
+                             severity="error", path="/image_id"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def out_of_range_dims(cls, c: Corruption, row: int) -> None:
+        c.table = _set_cell(c.table, row, "w", 0)
+        c.table = _set_cell(c.table, row, "h", 99999)
+        rid = cls._rid(c.table, row)
+        c.golden.append(dict(record_id=rid, rule_id="R-RG-W", severity="error", path="/w"))
+        c.golden.append(dict(record_id=rid, rule_id="R-RG-H", severity="error", path="/h"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def raw_len_mismatch(cls, c: Corruption, row: int) -> None:
+        """fmt := raw with a truncated payload; decode rules stay gated
+        (andThen) so only R-XF-LEN fires."""
+        rid = cls._rid(c.table, row)
+        w = c.table.column("w")[row].as_py()
+        h = c.table.column("h")[row].as_py()
+        px = codec.pixels_for_id(rid, w, h)
+        c.table = _set_cell(c.table, row, "fmt", "raw")
+        c.table = _set_cell(c.table, row, "bytes", codec.encode_raw(px)[:-7])
+        c.table = _set_cell(c.table, row, "phash", codec.phash(px))
+        c.golden.append(dict(record_id=rid, rule_id="R-XF-LEN",
+                             severity="error", path="/bytes"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def wrong_magic(cls, c: Corruption, row: int) -> None:
+        """declared png, payload actually raw → sniffed fmt mismatch."""
+        rid = cls._rid(c.table, row)
+        w = c.table.column("w")[row].as_py()
+        h = c.table.column("h")[row].as_py()
+        px = codec.pixels_for_id(rid, w, h)
+        c.table = _set_cell(c.table, row, "fmt", "png")
+        c.table = _set_cell(c.table, row, "bytes", codec.encode_raw(px))
+        c.table = _set_cell(c.table, row, "phash", codec.phash(px))
+        c.golden.append(dict(record_id=rid, rule_id="R-XF-MAGIC",
+                             severity="error", path="/fmt"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def pixel_corruption(cls, c: Corruption, row: int) -> None:
+        """Perturb pixels far past the PSNR-40dB budget, re-encode with
+        the row's own codec; stored phash no longer matches."""
+        rid = cls._rid(c.table, row)
+        w = c.table.column("w")[row].as_py()
+        h = c.table.column("h")[row].as_py()
+        fmt = c.table.column("fmt")[row].as_py()
+        px = codec.pixels_for_id(rid, w, h)
+        bad = px.copy()
+        bad[: h // 2] = 255 - bad[: h // 2]  # invert half the image
+        c.table = _set_cell(c.table, row, "bytes", codec.encode(bad, fmt))
+        c.golden.append(dict(record_id=rid, rule_id="R-XF-PSNR",
+                             severity="error", path="/bytes"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def dangling_caption_ref(cls, c: Corruption, row: int) -> None:
+        c.table = _set_cell(c.table, row, "caption", "zzzunresolved thing in the void")
+        c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-REF-CAPKEY",
+                             severity="fatal", path="/caption"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def zero_phash(cls, c: Corruption, row: int) -> None:
+        c.table = _set_cell(c.table, row, "phash", 0)
+        c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-RG-PHASH",
+                             severity="warning", path="/phash"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def implausible_caption(cls, c: Corruption, row: int) -> None:
+        c.table = _set_cell(c.table, row, "caption", "bad\x01caption\x02text")
+        rid = cls._rid(c.table, row)
+        c.golden.append(dict(record_id=rid, rule_id="R-RE-CAPTION",
+                             severity="warning", path="/caption"))
+        # the corrupted caption's first word also fails key resolution
+        c.golden.append(dict(record_id=rid, rule_id="R-REF-CAPKEY",
+                             severity="fatal", path="/caption"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def duplicate_id(cls, c: Corruption, row: int) -> None:
+        """Append a copy of the row (same image_id) — exactly-one
+        violation, both occurrences flagged (MTBValidators.scala:696-698)."""
+        rid = cls._rid(c.table, row)
+        dup = c.table.slice(row, 1)
+        c.table = pa.concat_tables([c.table, dup])
+        c.golden.append(dict(record_id=rid, rule_id="R-UQ-ID",
+                             severity="error", path="/image_id"))
+        c.touched_rows.add(row)
+        c.touched_rows.add(c.table.num_rows - 1)
+
+
+DEFAULT_MUTATIONS: list[tuple[str, int]] = [
+    # (mutator name, target row) — rows chosen spread across partitions
+    ("null_caption", 3),
+    ("empty_bytes", 11),
+    ("bad_fmt", 23),
+    ("bad_id_regex", 31),
+    ("out_of_range_dims", 47),
+    ("raw_len_mismatch", 59),
+    ("wrong_magic", 67),
+    ("pixel_corruption", 73),
+    ("dangling_caption_ref", 89),
+    ("zero_phash", 97),
+    ("implausible_caption", 101),
+    ("duplicate_id", 113),
+]
+
+
+def corrupted_fixture(
+    n: int = 1000, *, seed: int = 42, n_partitions: int = 8,
+    mutations: list[tuple[str, int]] | None = None,
+) -> Corruption:
+    """Valid table + the default corruption matrix applied (FIXTURES.md §3)."""
+    c = Corruption(table=make_image_rows(0, n, seed=seed, total=n,
+                                         n_partitions=n_partitions))
+    for name, row in mutations if mutations is not None else DEFAULT_MUTATIONS:
+        if row < n:
+            getattr(Invalidators, name)(c, row)
+    return c
+
+
+def golden_table(c: Corruption) -> pa.Table:
+    """Expected violations as a sorted Arrow table (record_id, rule_id,
+    severity, path) — the golden contract for row-for-row equality."""
+    rows = sorted(c.golden, key=lambda g: (g["record_id"], g["rule_id"]))
+    return pa.table(
+        {
+            "record_id": pa.array([g["record_id"] for g in rows], pa.string()),
+            "rule_id": pa.array([g["rule_id"] for g in rows], pa.string()),
+            "severity": pa.array([g["severity"] for g in rows], pa.string()),
+            "path": pa.array([g["path"] for g in rows], pa.string()),
+        }
+    )

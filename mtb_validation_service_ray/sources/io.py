@@ -1,0 +1,66 @@
+"""IO shim: Lance when available, Parquet otherwise.
+
+The north rule targets Lance tables (BASELINE.json ``input_hint``), but
+no ``lance``/``pylance`` wheel exists in this sandbox (SURVEY.md §7.1),
+so every read/write goes through this shim: identical fragment/partition
+semantics on both paths, Lance used opportunistically when importable.
+
+The reference's storage layer is the analog: a repository trait with a
+filesystem-backed implementation chosen at runtime via SPI
+(MTBValidationRepository.scala:21-47) — storage behind an interface,
+implementation pluggable.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any
+
+import ray.data as rd
+
+try:  # pragma: no cover - lance wheel not present in sandbox
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def dataset_uri_kind(uri: str) -> str:
+    if uri.endswith(".lance") and HAVE_LANCE:
+        return "lance"
+    return "parquet"
+
+
+def read_table(uri: str | list[str], *, columns: list[str] | None = None,
+               **kwargs: Any) -> rd.Dataset:
+    """Read an image table as a Ray Dataset with column pruning.
+
+    Always pass ``columns`` — at 100 TB, reading the ``bytes`` column for
+    a metadata-only pass is the single biggest wasted cost
+    (SURVEY.md §7.3 #4)."""
+    if isinstance(uri, str) and dataset_uri_kind(uri) == "lance":
+        return rd.read_lance(uri, columns=columns, **kwargs)
+    return rd.read_parquet(uri, columns=columns, **kwargs)
+
+
+def write_table(ds: rd.Dataset, uri: str, **kwargs: Any) -> None:
+    if dataset_uri_kind(uri) == "lance":
+        ds.write_lance(uri, **kwargs)
+        return
+    ds.write_parquet(uri, **kwargs)
+
+
+def list_fragments(uri: str) -> list[str]:
+    """Input fragments = resumable partition units (one manifest each).
+
+    Lance datasets expose fragments natively; on the Parquet path a
+    fragment is one ``*.parquet`` file."""
+    if dataset_uri_kind(uri) == "lance":  # pragma: no cover
+        import lance
+
+        return [str(f.fragment_id) for f in lance.dataset(uri).get_fragments()]
+    if os.path.isdir(uri):
+        return sorted(glob.glob(os.path.join(uri, "**", "*.parquet"), recursive=True))
+    return [uri]

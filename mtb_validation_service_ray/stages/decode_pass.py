@@ -1,0 +1,148 @@
+"""Decode pass — every rule that reads the ``bytes`` payload.
+
+Evaluates (a) vectorized payload rules (presence of ``bytes``, the
+raw-length cross-field check) and (b) per-image decode rules
+(``magic_fmt``, ``pixel_integrity``): sniff the container magic, decode,
+recompute the perceptual hash, compare against the declared ``fmt`` /
+``phash`` columns — the engine analog of the reference's "observation
+method must equal the expected constant" check
+(MTBValidators.scala:366-371) and of the decoded-pixel PSNR≥40dB
+invariant (BASELINE.json ``input_hint``).
+
+`andThen` gating: shared row-local prerequisites (presence / value-set /
+range) are re-evaluated vectorized on the same batch — microseconds
+against the milliseconds of decoding — so children of a failed
+precondition are never double-reported (MTBValidators.scala:243,252-254,
+302-305).  The metadata pass emits those rules; this pass only emits
+payload rules (``emit=rule_needs_bytes``) — no duplicates.
+
+Scale notes (SURVEY.md §4):
+* decode → check → drop inside one UDF; no pixel column is ever added
+  to the dataset (wide-binary-row trap, SURVEY.md §7.3 #4).
+* small ``batch_size`` (default 256) keeps decoded pixels × concurrency
+  inside worker heaps; the payload column stays zero-copy Arrow until a
+  row is actually decoded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions import codec
+from ..rules.core import (
+    KERNELS,
+    RuleContext,
+    RuleSet,
+    evaluate_rules,
+    rule_needs_bytes,
+)
+from ..schema import PARTITION_COL, VIOLATION_SCHEMA, violations_table
+
+DECODE_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "phash", PARTITION_COL]
+
+_LOOP_KINDS = ("magic_fmt", "pixel_integrity")
+
+
+class DecodePass:
+    def __init__(self, ruleset: RuleSet):
+        self.ctx = RuleContext(ruleset)
+        self.loop_rules = [r for r in ruleset.rules if r.kind in _LOOP_KINDS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        vec_violations, fired = evaluate_rules(
+            batch, self.ctx, emit=lambda r: rule_needs_bytes(r) and r.kind in KERNELS
+        )
+        ids = batch.column("image_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        ws = batch.column("w").to_pylist()
+        hs = batch.column("h").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        phashes = batch.column("phash").to_pylist()
+        pids = (
+            batch.column(PARTITION_COL).to_pylist()
+            if PARTITION_COL in batch.column_names
+            else [None] * n
+        )
+
+        out: list[pa.Table] = [vec_violations] if vec_violations.num_rows else []
+        for rule in self.loop_rules:
+            gate = np.ones(n, dtype=bool)
+            for dep in rule.requires:
+                if dep in fired:
+                    gate &= ~fired[dep]
+            violated = np.zeros(n, dtype=bool)
+            messages: list[str] = [""] * n
+            for i in np.nonzero(gate)[0]:
+                data, w, h, fmt = payloads[i], ws[i], hs[i], fmts[i]
+                if data is None or fmt is None or w is None or h is None:
+                    continue
+                if rule.kind == "magic_fmt":
+                    sniffed = codec.sniff_format(data, w, h)
+                    if sniffed != fmt:
+                        violated[i] = True
+                        messages[i] = (
+                            f"declared fmt={fmt!r} but payload sniffs as {sniffed!r}"
+                        )
+                elif rule.kind == "pixel_integrity":
+                    tol = rule.params.get("hamming_tolerance_lossy", 8)
+                    try:
+                        px = codec.decode(data, fmt, w, h)
+                    except Exception as exc:  # undecodable ⇒ integrity violation
+                        violated[i] = True
+                        messages[i] = f"decode failed: {exc}"
+                        continue
+                    if px.shape != (h, w, 3):
+                        violated[i] = True
+                        messages[i] = (
+                            f"decoded dims {px.shape[1]}x{px.shape[0]} != declared {w}x{h}"
+                        )
+                        continue
+                    if phashes[i] is None:
+                        continue  # phash presence is the metadata pass's business
+                    dist = codec.hamming64(codec.phash(px), phashes[i])
+                    budget = tol if fmt == "lossy" else 0
+                    if dist > budget:
+                        violated[i] = True
+                        messages[i] = (
+                            f"phash hamming distance {dist} exceeds budget {budget}"
+                        )
+            fired[rule.rule_id] = violated
+            if violated.any():
+                idx = np.nonzero(violated)[0]
+                out.append(
+                    violations_table(
+                        [ids[i] for i in idx],
+                        rule.rule_id,
+                        rule.severity,
+                        rule.path,
+                        [messages[i] or rule.render_message() for i in idx],
+                        pa.array([pids[i] for i in idx], pa.int32()),
+                    )
+                )
+        if not out:
+            return VIOLATION_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+
+def run_decode_pass(
+    ds: rd.Dataset,
+    ruleset: RuleSet,
+    *,
+    batch_size: int = 256,
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    if concurrency is None:
+        import ray
+
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+    return ds.map_batches(
+        DecodePass,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        fn_constructor_kwargs={"ruleset": ruleset},
+        concurrency=concurrency,
+    )

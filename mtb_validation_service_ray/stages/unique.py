@@ -1,0 +1,84 @@
+"""Uniqueness check — the dataset-level promotion of the reference's
+"exactly one Main diagnosis" cardinality constraint
+(MTBValidators.scala:696-698) to a 10^12-row identifier-uniqueness scan
+(north rule R-UQ-ID).
+
+Physical plan (SURVEY.md §4 "Uniqueness"):
+  1. **partial aggregation inside map_batches** — count occurrences per
+     (image_id, partition_id) within each batch with a vectorized
+     pyarrow ``group_by`` (no Python per row), shrinking the shuffle
+     payload to one small triple per distinct key per block;
+  2. **one hash-shuffle groupby** on ``image_id`` over the triples with
+     vectorized aggregates only (Sum/Min/Max — never per-group Python:
+     at 10^12 rows one ``map_groups`` call per id would be the
+     bottleneck);
+  3. rows with total count > 1 become violations.
+
+Skew: identifiers are unique-by-construction, so the groupby key has no
+hot groups; the pre-aggregation additionally collapses any adversarial
+duplicate floods to one triple per block before the exchange.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..schema import PARTITION_COL, VIOLATION_SCHEMA, violations_table
+
+RULE_ID = "R-UQ-ID"
+SEVERITY = "error"
+PATH = "/image_id"
+
+
+def _batch_counts(batch: pa.Table, id_col: str) -> pa.Table:
+    cols = [id_col] + ([PARTITION_COL] if PARTITION_COL in batch.column_names else [])
+    grouped = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+    out = {
+        id_col: grouped.column(id_col),
+        "cnt": grouped.column("count_all").cast(pa.int64()),
+        PARTITION_COL: (
+            grouped.column(PARTITION_COL).cast(pa.int32())
+            if PARTITION_COL in batch.column_names
+            else pa.nulls(grouped.num_rows, pa.int32())
+        ),
+    }
+    return pa.table(out)
+
+
+def _to_violations(batch: pa.Table, id_col: str) -> pa.Table:
+    dup = batch.filter(pc.greater(batch.column("n"), 1))
+    if dup.num_rows == 0:
+        return VIOLATION_SCHEMA.empty_table()
+    lo = dup.column("pid_min").to_pylist()
+    hi = dup.column("pid_max").to_pylist()
+    ns = dup.column("n").to_pylist()
+    messages = [
+        f"image_id occurs {n} times"
+        + ("" if a == b else f" across partitions [{a}..{b}]")
+        for n, a, b in zip(ns, lo, hi)
+    ]
+    # attribute the violation to a partition only when unambiguous
+    pids = pa.array([a if a == b else None for a, b in zip(lo, hi)], pa.int32())
+    return violations_table(dup.column(id_col), RULE_ID, SEVERITY, PATH, messages, pids)
+
+
+def duplicate_id_violations(ds: rd.Dataset, *, id_col: str = "image_id") -> rd.Dataset:
+    """Violations for every identifier that occurs more than once."""
+    triples = ds.map_batches(
+        _batch_counts,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"id_col": id_col},
+    )
+    agg = triples.groupby(id_col).aggregate(
+        Sum("cnt", alias_name="n"),
+        Min(PARTITION_COL, alias_name="pid_min"),
+        Max(PARTITION_COL, alias_name="pid_max"),
+        Count(alias_name="n_blocks"),
+    )
+    return agg.map_batches(
+        _to_violations, batch_format="pyarrow", fn_kwargs={"id_col": id_col}
+    )
