@@ -1,0 +1,124 @@
+"""Vectorized text-analysis kernels for the `documents` pipelines:
+token counting, quality counts, language-ID heuristic, fingerprinting.
+
+All kernels are Arrow/numpy vectorized (RE2 via pyarrow.compute — the
+same regex engine DuckDB uses, so oracle SQL with ``regexp_extract_all``
+matches exactly).  No per-row Python in hot paths except where a kernel
+is inherently per-string and cheap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_PATTERN = r"[A-Za-z0-9_]+"
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic (public common-word lists; intentionally minimal)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "que", "pour", "une", "des"),
+    "es": ("el", "la", "los", "las", "y", "es", "en", "que", "por", "una"),
+}
+CJK_PATTERN = "[一-鿿]"
+
+
+def token_counts(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Number of word tokens per string (BPE-ish regex token proxy)."""
+    return pc.count_substring_regex(pc.fill_null(col, ""), TOKEN_PATTERN)
+
+
+def quality_counts(col) -> dict[str, pa.Array]:
+    """Deterministic integer quality ingredients per document: total
+    chars, letters, digits, punctuation, whitespace — exact-match
+    reproducible in SQL (length + regexp counts)."""
+    filled = pc.fill_null(col, "")
+    return {
+        "n_chars": pc.utf8_length(filled),
+        "n_alpha": pc.count_substring_regex(filled, "[A-Za-z]"),
+        "n_digit": pc.count_substring_regex(filled, "[0-9]"),
+        "n_space": pc.count_substring_regex(filled, r"\s"),
+        "n_punct": pc.count_substring_regex(filled, r"[.,;:!?'\"()\[\]-]"),
+        "n_tokens": token_counts(col),
+    }
+
+
+def quality_score(col) -> pa.Array:
+    """Heuristic [0,1] quality score from the count ingredients
+    (length, alpha ratio, whitespace sanity) — the engine's analog of a
+    Gopher/C4-style quality filter ingredient."""
+    q = quality_counts(col)
+    n = pc.cast(q["n_chars"], pa.float64())
+    safe_n = pc.max_element_wise(n, 1.0)
+    alpha_ratio = pc.divide(pc.cast(q["n_alpha"], pa.float64()), safe_n)
+    space_ratio = pc.divide(pc.cast(q["n_space"], pa.float64()), safe_n)
+    len_term = pc.min_element_wise(pc.divide(n, 200.0), 1.0)
+    # score = 0.5*alpha_ratio + 0.3*len_term + 0.2*(1 - |space_ratio - 0.15|)
+    space_term = pc.subtract(
+        1.0, pc.abs(pc.subtract(space_ratio, 0.15))
+    )
+    score = pc.add(
+        pc.add(pc.multiply(alpha_ratio, 0.5), pc.multiply(len_term, 0.3)),
+        pc.multiply(space_term, 0.2),
+    )
+    return pc.max_element_wise(pc.min_element_wise(score, 1.0), 0.0)
+
+
+def detect_language(col) -> pa.Array:
+    """Stopword/charset language-ID heuristic over {en,de,fr,es,zh}.
+
+    Vectorized: one RE2 count per language's stopword alternation plus a
+    CJK character count; argmax wins, 'und' (undetermined) when no
+    signal."""
+    filled = pc.utf8_lower(pc.fill_null(col, ""))
+    n = len(filled)
+    scores = np.zeros((len(STOPWORDS) + 1, n), dtype=np.float64)
+    langs = list(STOPWORDS) + ["zh"]
+    for i, (lang, words) in enumerate(STOPWORDS.items()):
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        scores[i] = pc.count_substring_regex(filled, pattern).to_numpy(
+            zero_copy_only=False
+        )
+    # CJK: a single han char is a strong signal; weight ×3
+    scores[-1] = 3.0 * pc.count_substring_regex(filled, CJK_PATTERN).to_numpy(
+        zero_copy_only=False
+    )
+    best = np.argmax(scores, axis=0)
+    no_signal = scores.max(axis=0) == 0
+    out = np.array(langs, dtype=object)[best]
+    out[no_signal] = "und"
+    return pa.array(out, pa.string())
+
+
+def fingerprint64(col) -> pa.Array:
+    """Document fingerprint: 64-bit hash of the case/whitespace
+    normalized text (rolling-hash family; stable across processes).
+    Equal fingerprints ⇒ near-identical documents up to
+    whitespace/case."""
+    filled = pc.utf8_lower(pc.fill_null(col, ""))
+    normalized = pc.replace_substring_regex(filled, r"\s+", " ")
+    arr = normalized.to_numpy(zero_copy_only=False).astype(object)
+    hashes = pd.util.hash_array(arr, categorize=False).astype(np.int64)
+    return pa.array(hashes, pa.int64())
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashed k-shingles (word n-grams fall back to char shingles for
+    short docs) — MinHash/Jaccard input."""
+    toks = text.lower().split()
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        s = " ".join(toks)
+        grams = [s[i : i + k] for i in range(max(len(s) - k + 1, 1))]
+    return pd.util.hash_array(np.array(grams, dtype=object), categorize=False)
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(len(a | b), 1)

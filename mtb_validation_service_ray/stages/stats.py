@@ -1,0 +1,315 @@
+"""Per-partition column statistics + distribution-drift pass.
+
+The engine's promotion of the reference's MVH reporting path
+(`MTBMVHService.report` — periodic aggregate over stored submissions,
+MTBMVHServiceImpl.scala:78-84) to north-rule column profiling:
+count / null-rate / min / max, HyperLogLog distinct, t-digest quantiles
+and KS/PSI drift scores per partition (BASELINE.json ``north_star``).
+
+Physical plan (SURVEY.md §4 "Stateful stats"):
+  1. an **actor pool** (`map_batches(StatsPass, concurrency=...)`) holds
+     the profiling config — histogram bin edges, reference histograms —
+     loaded once per actor (`__init__`), the analog of the reference's
+     lazy-singleton catalogs (MTBValidators.scala:747-770);
+  2. each batch folds into **one partial row per partition id** —
+     serialized mergeable sketches, a few KB — so the shuffle moves
+     partials, never input rows;
+  3. a tiny ``groupby(partition_id).map_groups`` merges the partials
+     (sketches are mergeable by construction); the number of groups is
+     the number of partitions, so per-group Python is fine here.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.sketches import (
+    HyperLogLog,
+    TDigest,
+    hash64,
+    histogram,
+    ks_statistic,
+    psi,
+)
+from ..schema import PARTITION_COL, VIOLATION_SCHEMA, violations_table
+
+DEFAULT_NUMERIC_COLS = ("w", "h")
+DEFAULT_ID_COL = "image_id"
+DEFAULT_EDGES = {
+    "w": np.array([0, 16, 24, 32, 48, 64, 96, 128, 256, 1024, 16384], dtype=float),
+    "h": np.array([0, 16, 24, 32, 48, 64, 96, 128, 256, 1024, 16384], dtype=float),
+}
+QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+@dataclass
+class PartialStats:
+    """Mergeable per-partition partial."""
+
+    n_rows: int = 0
+    null_counts: dict[str, int] = field(default_factory=dict)
+    num_min: dict[str, float] = field(default_factory=dict)
+    num_max: dict[str, float] = field(default_factory=dict)
+    num_sum: dict[str, float] = field(default_factory=dict)
+    hll: HyperLogLog = field(default_factory=HyperLogLog)
+    digests: dict[str, TDigest] = field(default_factory=dict)
+    hists: dict[str, np.ndarray] = field(default_factory=dict)
+
+    def merge(self, other: "PartialStats") -> "PartialStats":
+        out = PartialStats(n_rows=self.n_rows + other.n_rows)
+        keys = set(self.null_counts) | set(other.null_counts)
+        out.null_counts = {
+            k: self.null_counts.get(k, 0) + other.null_counts.get(k, 0) for k in keys
+        }
+        for k in set(self.num_min) | set(other.num_min):
+            mins = [d[k] for d in (self.num_min, other.num_min) if k in d]
+            maxs = [d[k] for d in (self.num_max, other.num_max) if k in d]
+            sums = [d[k] for d in (self.num_sum, other.num_sum) if k in d]
+            out.num_min[k], out.num_max[k], out.num_sum[k] = (
+                min(mins), max(maxs), sum(sums),
+            )
+        out.hll = self.hll.merge(other.hll)
+        for k in set(self.digests) | set(other.digests):
+            a = self.digests.get(k, TDigest())
+            b = other.digests.get(k, TDigest())
+            out.digests[k] = a.merge(b)
+        for k in set(self.hists) | set(other.hists):
+            a = self.hists.get(k)
+            b = other.hists.get(k)
+            out.hists[k] = (a if a is not None else 0) + (b if b is not None else 0)
+        return out
+
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        pa.field(PARTITION_COL, pa.int32()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("sketch", pa.binary()),
+    ]
+)
+
+
+def _as_arrow(ds: "rd.Dataset | pa.Table") -> pa.Table:
+    """Materialize a small Dataset (one row per partition) as one Table."""
+    if isinstance(ds, pa.Table):
+        return ds
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+    return pa.concat_tables(batches) if batches else PARTIAL_SCHEMA.empty_table()
+
+
+class StatsPass:
+    """Actor-pool UDF: fold each Arrow batch into one serialized
+    ``PartialStats`` row per partition id."""
+
+    def __init__(
+        self,
+        numeric_cols: tuple[str, ...] = DEFAULT_NUMERIC_COLS,
+        id_col: str = DEFAULT_ID_COL,
+        edges: dict[str, np.ndarray] | None = None,
+    ):
+        self.numeric_cols = numeric_cols
+        self.id_col = id_col
+        self.edges = edges if edges is not None else DEFAULT_EDGES
+
+    def _fold(self, table: pa.Table) -> PartialStats:
+        p = PartialStats(n_rows=table.num_rows)
+        for name in table.column_names:
+            if name == PARTITION_COL:
+                continue
+            p.null_counts[name] = table.column(name).null_count
+        for name in self.numeric_cols:
+            if name not in table.column_names:
+                continue
+            vals = table.column(name).to_numpy(zero_copy_only=False).astype(np.float64)
+            vals = vals[~np.isnan(vals)]
+            if len(vals) == 0:
+                continue
+            p.num_min[name] = float(vals.min())
+            p.num_max[name] = float(vals.max())
+            p.num_sum[name] = float(vals.sum())
+            d = TDigest()
+            d.add(vals)
+            d._compress()
+            p.digests[name] = d
+            if name in self.edges:
+                p.hists[name] = histogram(vals, self.edges[name])
+        if self.id_col in table.column_names:
+            ids = table.column(self.id_col).drop_null().to_numpy(zero_copy_only=False)
+            if len(ids):
+                p.hll.add_hashes(hash64(ids))
+        return p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if PARTITION_COL in batch.column_names:
+            pids = batch.column(PARTITION_COL).to_numpy(zero_copy_only=False)
+            out_pid, out_n, out_sk = [], [], []
+            for pid in np.unique(pids):
+                sub = batch.filter(
+                    pa.array(pids == pid)
+                )
+                partial = self._fold(sub)
+                out_pid.append(int(pid))
+                out_n.append(partial.n_rows)
+                out_sk.append(pickle.dumps(partial))
+            return pa.table(
+                {
+                    PARTITION_COL: pa.array(out_pid, pa.int32()),
+                    "n_rows": pa.array(out_n, pa.int64()),
+                    "sketch": pa.array(out_sk, pa.binary()),
+                },
+                schema=PARTIAL_SCHEMA,
+            )
+        partial = self._fold(batch)
+        return pa.table(
+            {
+                PARTITION_COL: pa.array([-1], pa.int32()),
+                "n_rows": pa.array([partial.n_rows], pa.int64()),
+                "sketch": pa.array([pickle.dumps(partial)], pa.binary()),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+
+def _merge_group(group: pd.DataFrame) -> pd.DataFrame:
+    merged: PartialStats | None = None
+    for blob in group["sketch"]:
+        p = pickle.loads(blob)
+        merged = p if merged is None else merged.merge(p)
+    return pd.DataFrame(
+        {
+            PARTITION_COL: [group[PARTITION_COL].iloc[0]],
+            "n_rows": [merged.n_rows],
+            "sketch": [pickle.dumps(merged)],
+        }
+    )
+
+
+def profile_stats(
+    ds: rd.Dataset,
+    *,
+    numeric_cols: tuple[str, ...] = DEFAULT_NUMERIC_COLS,
+    id_col: str = DEFAULT_ID_COL,
+    edges: dict[str, np.ndarray] | None = None,
+    batch_size: int = 8192,
+    concurrency: int | tuple[int, int] | None = None,
+) -> rd.Dataset:
+    """Per-partition merged ``PartialStats`` rows (small Dataset: one
+    row per partition)."""
+    if concurrency is None:
+        import ray
+
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    partials = ds.map_batches(
+        StatsPass,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        fn_constructor_kwargs={
+            "numeric_cols": numeric_cols,
+            "id_col": id_col,
+            "edges": edges,
+        },
+        concurrency=concurrency,
+    )
+    return partials.groupby(PARTITION_COL).map_groups(
+        _merge_group, batch_format="pandas"
+    )
+
+
+def stats_report(stats_ds: rd.Dataset | pa.Table) -> pa.Table:
+    """Expand merged partials into a readable metrics table (one row per
+    partition + one ``partition_id = -1`` global row merged from all
+    partials — small, driver-side)."""
+    table = _as_arrow(stats_ds)
+    rows: list[dict[str, Any]] = []
+    global_merge: PartialStats | None = None
+    for pid, blob in zip(
+        table.column(PARTITION_COL).to_pylist(), table.column("sketch").to_pylist()
+    ):
+        p: PartialStats = pickle.loads(blob)
+        global_merge = p if global_merge is None else global_merge.merge(p)
+        rows.append(_expand(pid, p))
+    if global_merge is not None:
+        rows.append(_expand(-1, global_merge))
+    rows.sort(key=lambda r: r[PARTITION_COL])
+    return pa.Table.from_pylist(rows)
+
+
+def _expand(pid: int, p: PartialStats) -> dict[str, Any]:
+    row: dict[str, Any] = {PARTITION_COL: pid, "n_rows": p.n_rows}
+    row["distinct_ids_est"] = round(p.hll.estimate(), 1)
+    for col, n in sorted(p.null_counts.items()):
+        row[f"null_{col}"] = n
+    for col in sorted(p.num_min):
+        row[f"min_{col}"] = p.num_min[col]
+        row[f"max_{col}"] = p.num_max[col]
+        row[f"mean_{col}"] = p.num_sum[col] / max(p.n_rows - p.null_counts.get(col, 0), 1)
+    for col, d in sorted(p.digests.items()):
+        for q, v in zip(QUANTILES, d.quantiles(QUANTILES)):
+            row[f"p{int(q * 100):02d}_{col}"] = round(v, 3)
+    return row
+
+
+# --- drift -----------------------------------------------------------------
+
+DRIFT_PSI_WARNING = 0.10
+DRIFT_PSI_ERROR = 0.25
+
+
+def reference_histograms(
+    stats_ds: rd.Dataset | pa.Table,
+) -> dict[str, np.ndarray]:
+    """Global merged histograms from a profiling run over a *reference*
+    (known-good) table — the broadcast side of the drift check."""
+    table = _as_arrow(stats_ds)
+    merged: PartialStats | None = None
+    for blob in table.column("sketch").to_pylist():
+        p = pickle.loads(blob)
+        merged = p if merged is None else merged.merge(p)
+    return dict(merged.hists) if merged else {}
+
+
+def drift_violations(
+    stats_ds: rd.Dataset | pa.Table,
+    reference: dict[str, np.ndarray],
+    *,
+    psi_warning: float = DRIFT_PSI_WARNING,
+    psi_error: float = DRIFT_PSI_ERROR,
+) -> pa.Table:
+    """Per-partition KS/PSI vs the reference histograms → partition-level
+    violation rows (``record_id = "partition=<pid>"``), the north-rule
+    R-DRIFT family.  Result is tiny (#partitions × #columns)."""
+    table = _as_arrow(stats_ds)
+    out: list[pa.Table] = []
+    for pid, blob in zip(
+        table.column(PARTITION_COL).to_pylist(), table.column("sketch").to_pylist()
+    ):
+        p: PartialStats = pickle.loads(blob)
+        for col, ref_counts in reference.items():
+            actual = p.hists.get(col)
+            if actual is None:
+                continue
+            score_psi = psi(ref_counts, actual)
+            score_ks = ks_statistic(ref_counts, actual)
+            if score_psi >= psi_warning:
+                severity = "error" if score_psi >= psi_error else "warning"
+                out.append(
+                    violations_table(
+                        [f"partition={pid}"],
+                        f"R-DRIFT-{col.upper()}",
+                        severity,
+                        f"/{col}",
+                        f"distribution drift: PSI={score_psi:.4f} KS={score_ks:.4f}",
+                        pa.array([pid], pa.int32()),
+                    )
+                )
+    if not out:
+        return VIOLATION_SCHEMA.empty_table()
+    return pa.concat_tables(out)

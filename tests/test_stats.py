@@ -1,0 +1,102 @@
+"""Sketch + stats/drift pass tests."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from mtb_validation_service_ray.functions.sketches import (
+    HyperLogLog,
+    TDigest,
+    hash64,
+    histogram,
+    ks_statistic,
+    psi,
+)
+from mtb_validation_service_ray.sources.fixtures import make_image_rows
+from mtb_validation_service_ray.stages.stats import (
+    drift_violations,
+    profile_stats,
+    reference_histograms,
+    stats_report,
+)
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 1 << 40, 100_000)
+    true = len(np.unique(vals))
+    parts = [HyperLogLog() for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.add_hashes(hash64(vals[i * 25_000 : (i + 1) * 25_000]))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert abs(merged.estimate() - true) / true < 0.05
+    # merge is order-insensitive
+    alt = parts[3].merge(parts[1]).merge(parts[2]).merge(parts[0])
+    assert alt.estimate() == merged.estimate()
+
+
+def test_tdigest_accuracy_and_merge():
+    rng = np.random.default_rng(2)
+    data = rng.gamma(3.0, 20.0, 200_000)
+    a, b = TDigest(), TDigest()
+    a.add(data[:100_000])
+    b.add(data[100_000:])
+    m = a.merge(b)
+    for q in (0.05, 0.5, 0.95):
+        assert abs(m.quantile(q) - np.quantile(data, q)) < 0.05 * np.quantile(data, q) + 1
+
+
+def test_drift_metrics_directionality():
+    rng = np.random.default_rng(3)
+    base = rng.normal(50, 5, 50_000)
+    edges = np.linspace(0, 100, 26)
+    ref = histogram(base, edges)
+    same = histogram(rng.normal(50, 5, 50_000), edges)
+    shifted = histogram(base + 15, edges)
+    assert psi(ref, same) < 0.02 < psi(ref, shifted)
+    assert ks_statistic(ref, same) < 0.02 < ks_statistic(ref, shifted)
+
+
+def test_profile_stats_and_report():
+    table = make_image_rows(0, 2000, seed=7, total=2000, n_partitions=4)
+    meta = table.drop_columns(["bytes"])
+    stats_ds = profile_stats(rd.from_arrow(meta), concurrency=1)
+    report = stats_report(stats_ds).to_pandas().set_index("partition_id")
+    assert set(report.index) == {-1, 0, 1, 2, 3}
+    glob = report.loc[-1]
+    assert glob["n_rows"] == 2000
+    assert report.drop(index=-1)["n_rows"].sum() == 2000
+    # ids are unique → HLL estimate near 2000
+    assert abs(glob["distinct_ids_est"] - 2000) / 2000 < 0.05
+    assert glob["min_w"] >= 16 and glob["max_w"] <= 128
+    assert glob["null_caption"] == 0
+    # hot dim mode (64) dominates → median is 64
+    assert glob["p50_w"] == 64
+
+
+def test_drift_violation_emission():
+    clean = make_image_rows(0, 3000, seed=11, total=3000, n_partitions=3)
+    meta = clean.drop_columns(["bytes"])
+    ref_stats = profile_stats(rd.from_arrow(meta), concurrency=1)
+    ref = reference_histograms(ref_stats)
+
+    # same distribution → no drift violations
+    none = drift_violations(profile_stats(rd.from_arrow(meta), concurrency=1), ref)
+    assert none.num_rows == 0
+
+    # shift w in partition 2 → drift violation for exactly that partition
+    import pyarrow.compute as pc
+
+    shifted_w = pc.if_else(
+        pc.equal(meta.column("partition_id"), 2),
+        pc.add(meta.column("w"), 400),
+        meta.column("w"),
+    ).cast(pa.int32())
+    drifted = meta.set_column(meta.column_names.index("w"), "w", shifted_w)
+    v = drift_violations(profile_stats(rd.from_arrow(drifted), concurrency=1), ref)
+    got = v.to_pandas()
+    w_rows = got[got.rule_id == "R-DRIFT-W"]
+    assert list(w_rows.record_id) == ["partition=2"]
+    assert set(got.partition_id) == {2}
