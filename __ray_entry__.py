@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Neither this module nor the library calls ``ray.init``/``ray.shutdown``
+— only ``bench.py``, CLI scripts and the test fixture own a session.
 """
 
 from __future__ import annotations
@@ -20,25 +17,32 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full rule-set validation of the deterministic
+    image+caption fixture (BASELINE.json input_hint shape) — returns the
+    per-record verdicts table (1500 rows, stable schema)."""
+    from mtb_validation_service_ray.pipelines.queries import (
+        _as_table,
+        _image_fixture_dir,
+    )
+    from mtb_validation_service_ray.pipelines.validate import run_validation
+
+    res = run_validation(_image_fixture_dir())
+    return _as_table(res.verdicts)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    (see mtb_validation_service_ray/pipelines/queries.py for the
+    operator-by-operator mapping)."""
+    from mtb_validation_service_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query; sketches,
+    LSH candidates, fingerprints and the image pipelines are rows-only
+    (no SQL analog) and verified by the pytest suite instead."""
+    from mtb_validation_service_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,928 @@
+"""Driver-contract query catalog.
+
+One entry per operator family from SURVEY.md §2, expressed over the
+driver-generated TPC-H-ish tables (TESTDATA.md) so the DuckDB oracle can
+verify row-counts + schema + values side-by-side, plus rows-only entries
+for non-SQL-expressible ops (sketches, LSH, image validation).
+
+Conventions (driver compare contract):
+* every computed column carries the SAME name in the Ray result and the
+  oracle SQL;
+* floats that aggregate across rows are rounded with DuckDB's
+  round-half-away-from-zero semantics on BOTH sides (``_round_away``);
+* counts are int64 (`CAST(... AS BIGINT)` in SQL).
+
+Scale notes: each query is written the way it would run at 10^12 rows —
+column-pruned reads, vectorized map_batches, partial aggregation before
+shuffles, broadcast semi/anti joins — even though the driver runs them
+at sf=0.01.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.textfn import (
+    CJK_PATTERN,
+    STOPWORDS,
+    TOKEN_PATTERN,
+    detect_language,
+    fingerprint64,
+    quality_counts,
+    token_counts,
+)
+from ..schema import PARTITION_COL
+from ..sources.fixtures import annotations_table, make_image_rows
+from ..stages.dedup import duplicate_groups, minhash_lsh_candidates, simhash_candidates
+from ..stages.similarity import cosine_near_dups, knn_brute
+from ..stages.stats import profile_stats, stats_report
+from ..stages.windows import latest_event_per_key, session_windows, tumbling_window_agg
+from .validate import run_validation
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_away(arr, digits: int):
+    """Round half away from zero — DuckDB ``ROUND`` semantics (numpy and
+    Python round are half-to-even; mixing them breaks value hashes)."""
+    a = np.asarray(arr, dtype=np.float64)
+    factor = 10.0**digits
+    return np.sign(a) * np.floor(np.abs(a) * factor + 0.5) / factor
+
+
+def _as_table(ds: rd.Dataset) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+    return pa.concat_tables(batches) if batches else pa.table({})
+
+
+def _with_schema(ds: rd.Dataset | pa.Table, schema: pa.Schema) -> pa.Table:
+    """Materialize with a pinned schema — an empty result keeps its
+    columns (a filter that drops every row must still hash-compare
+    against the oracle's empty relation)."""
+    t = ds if isinstance(ds, pa.Table) else _as_table(ds)
+    if t.num_rows == 0:
+        return schema.empty_table()
+    return t.select(schema.names).cast(schema)
+
+
+# ---------------------------------------------------------------------------
+# Validation-kernel queries (SURVEY.md §2.0/§2.1 families on testdata)
+# ---------------------------------------------------------------------------
+
+
+def q_check_range_quantity(sf_dir: str):
+    """Closed-interval range rule (R-RG family; ClosedInterval
+    containment, MTBValidators.scala:363) on lineitem.l_quantity."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity")
+        bad = pc.or_(pc.less(q, 1.0), pc.greater(q, 30.0))
+        return batch.filter(pc.fill_null(bad, True))
+
+    return _with_schema(
+        ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("l_linenumber", pa.int32()),
+            pa.field("l_quantity", pa.float64()),
+        ]),
+    )
+
+
+def q_check_valueset_returnflag(sf_dir: str):
+    """Value-set membership rule (R-VS family; csCodingValidator,
+    MTBValidators.scala:144) summarized per code."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+    agg = ds.groupby("l_returnflag").aggregate(Count(alias_name="n"))
+
+    def validity(batch: pa.Table) -> pa.Table:
+        ok = pc.is_in(
+            batch.column("l_returnflag"),
+            value_set=pa.array(["A", "N", "R"], pa.string()),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "n": batch.column("n").cast(pa.int64()),
+                "valid": pc.cast(ok, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(validity, batch_format="pyarrow")
+
+
+def q_check_presence_documents(sf_dir: str):
+    """Presence rule (R-PR family; `must be (defined)`,
+    MTBValidators.scala:242-244): null/empty counts over documents."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        missing_text = pc.or_(
+            pc.is_null(text), pc.equal(pc.utf8_length(pc.fill_null(text, "")), 0)
+        )
+        return pa.table(
+            {
+                "n_rows": pa.array([len(batch)], pa.int64()),
+                "n_text_missing": pa.array(
+                    [pc.sum(pc.cast(missing_text, pa.int64())).as_py() or 0], pa.int64()
+                ),
+                "n_lang_missing": pa.array(
+                    [batch.column("lang").null_count], pa.int64()
+                ),
+            }
+        )
+
+    partials = _as_table(ds.map_batches(partial, batch_format="pyarrow"))
+    return pa.table(
+        {
+            "n_rows": pa.array([pc.sum(partials.column("n_rows")).as_py()], pa.int64()),
+            "n_text_missing": pa.array(
+                [pc.sum(partials.column("n_text_missing")).as_py()], pa.int64()
+            ),
+            "n_lang_missing": pa.array(
+                [pc.sum(partials.column("n_lang_missing")).as_py()], pa.int64()
+            ),
+        }
+    )
+
+
+def q_check_regex_doc_start(sf_dir: str):
+    """Regex plausibility rule (R-RE family; TNM.scala:12-18): documents
+    whose text does not start with a lowercase letter."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ok = pc.match_substring_regex(pc.fill_null(batch.column("text"), ""), "^[a-z]")
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64())}
+        ).filter(pc.invert(ok))
+
+    return _with_schema(
+        ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([pa.field("doc_id", pa.int64())]),
+    )
+
+
+def q_check_xfield_nchars(sf_dir: str):
+    """Cross-field consistency rule (R-XF family; derived-quantity
+    equality, MTBValidators.scala:245-247): stored n_chars must equal
+    the observed text length."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        obs = pc.utf8_length(pc.fill_null(batch.column("text"), ""))
+        bad = pc.not_equal(obs.cast(pa.int64()), batch.column("n_chars").cast(pa.int64()))
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64())}).filter(
+            pc.fill_null(bad, True)
+        )
+
+    return _with_schema(
+        ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([pa.field("doc_id", pa.int64())]),
+    )
+
+
+def q_check_unique_orderkey(sf_dir: str):
+    """Uniqueness scan (R-UQ family; exactly-one cardinality,
+    MTBValidators.scala:696-698): orderkeys occurring more than once in
+    lineitem, via partial counts + one hash groupby."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_orderkey"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "cnt": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "l_orderkey"
+    ).aggregate(Sum("cnt", alias_name="n"))
+
+    def dups(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        ).filter(pc.greater(batch.column("n"), 1))
+
+    return _with_schema(
+        agg.map_batches(dups, batch_format="pyarrow"),
+        pa.schema([pa.field("l_orderkey", pa.int64()), pa.field("n", pa.int64())]),
+    )
+
+
+def q_check_ref_users_without_purchase(sf_dir: str):
+    """Referential anti-join (R-REF-ORPHAN family; claim without
+    response ⇒ warning, MTBValidators.scala:621-623): users with no
+    purchase event, via a broadcast key set — no shuffle join."""
+    events = _read(sf_dir, "events", ["user_id", "event_type"])
+    purchasers = events.map_batches(
+        lambda b: pa.table(
+            {"user_id": pc.unique(
+                b.filter(pc.equal(b.column("event_type"), "purchase")).column("user_id")
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    key_set = pc.unique(_as_table(purchasers).column("user_id"))
+    key_ref = ray.put(key_set)
+
+    def orphan_users(batch: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        uniq = pc.unique(batch.column("user_id"))
+        missing = pc.invert(pc.is_in(uniq, value_set=keys))
+        return pa.table({"user_id": uniq.filter(missing).cast(pa.int64())})
+
+    candidates = events.map_batches(orphan_users, batch_format="pyarrow")
+    # batch-local unique → one final distinct
+    distinct = candidates.groupby("user_id").aggregate(
+        Count(alias_name="_n")
+    ).select_columns(["user_id"])
+    return _with_schema(distinct, pa.schema([pa.field("user_id", pa.int64())]))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / sort / window queries (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with partial aggregation inside
+    map_batches before the (tiny) groupby shuffle."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        t = batch.append_column("disc_price", disc_price)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "s_qty": g.column("l_quantity_sum"),
+                "s_price": g.column("l_extendedprice_sum"),
+                "s_disc": g.column("disc_price_sum"),
+                "cnt": g.column("l_quantity_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("s_qty", alias_name="t_qty"),
+            Sum("s_price", alias_name="t_price"),
+            Sum("s_disc", alias_name="t_disc"),
+            Sum("cnt", alias_name="n"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pa.array(
+                    _round_away(batch.column("t_qty").to_numpy(zero_copy_only=False), 2)
+                ),
+                "sum_base_price": pa.array(
+                    _round_away(batch.column("t_price").to_numpy(zero_copy_only=False), 2)
+                ),
+                "sum_disc_price": pa.array(
+                    _round_away(batch.column("t_disc").to_numpy(zero_copy_only=False), 2)
+                ),
+                "avg_qty": pa.array(
+                    _round_away(
+                        batch.column("t_qty").to_numpy(zero_copy_only=False) / n, 4
+                    )
+                ),
+                "count_order": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_agg_latest_event_per_user(sf_dir: str):
+    """Grouped arg-max (lastResponsesByTherapy analog,
+    MTBValidators.scala:686-692)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = latest_event_per_key(ds, key_col="user_id", ts_col="ts")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "last_ts": batch.column("last_ts"),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_agg_daily_events(sf_dir: str):
+    """Tumbling-window aggregate over the events log."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = tumbling_window_agg(ds, ts_col="ts", key_col="event_type", window="day")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch.column("window_start"),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "sum_value": pa.array(
+                    _round_away(
+                        batch.column("sum_value").to_numpy(zero_copy_only=False), 2
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_agg_top5_users_by_value(sf_dir: str):
+    """Sort / top-k: 5 highest-spending users, deterministic tiebreak."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="t"))
+    top = _as_table(agg)
+    order = sorted(
+        zip(
+            top.column("user_id").to_pylist(),
+            _round_away(top.column("t").to_numpy(zero_copy_only=False), 2),
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:5]
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in order], pa.int64()),
+            "total_value": pa.array([r[1] for r in order], pa.float64()),
+        }
+    )
+
+
+def q_stats_profile_lineitem(sf_dir: str):
+    """Column-stats roll-up per group (north-rule stats family)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    agg = ds.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Sum("l_quantity", alias_name="s_qty"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "n": batch.column("n").cast(pa.int64()),
+                "min_qty": batch.column("min_qty"),
+                "max_qty": batch.column("max_qty"),
+                "avg_qty": pa.array(
+                    _round_away(
+                        batch.column("s_qty").to_numpy(zero_copy_only=False) / n, 4
+                    )
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_distinct_users_exact(sf_dir: str):
+    """Exact distinct count (the HLL query's ground truth)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = ds.groupby("user_id").aggregate(Count(alias_name="_")).count()
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity queries (north-rule training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_by_key(sf_dir: str):
+    """Exact dedup report keyed by (lang, n_chars) — hash-partition +
+    per-group first (vectorized aggregates)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = duplicate_groups(ds, ["lang", "n_chars"], id_col="doc_id")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+                "keep_id": batch.column("keep_id").cast(pa.int64()),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return _with_schema(
+        out.map_batches(cast, batch_format="pyarrow"),
+        pa.schema([
+            pa.field("lang", pa.string()),
+            pa.field("n_chars", pa.int64()),
+            pa.field("keep_id", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]),
+    )
+
+
+def q_dedup_exact_text(sf_dir: str):
+    """Exact dedup on full text (expected clean on this corpus — the
+    check proves it)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_groups(ds, ["text"], id_col="doc_id")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "text": batch.column("text"),
+                "keep_id": batch.column("keep_id").cast(pa.int64()),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return _with_schema(
+        out.map_batches(cast, batch_format="pyarrow"),
+        pa.schema([
+            pa.field("text", pa.string()),
+            pa.field("keep_id", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]),
+    )
+
+
+def q_text_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": token_counts(batch.column("text")).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_text_quality_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = quality_counts(batch.column("text"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_chars_obs": q["n_chars"].cast(pa.int64()),
+                "n_alpha": q["n_alpha"].cast(pa.int64()),
+                "n_digit": q["n_digit"].cast(pa.int64()),
+                "n_space": q["n_space"].cast(pa.int64()),
+                "n_tokens": q["n_tokens"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_text_langid(sf_dir: str):
+    """Language-ID heuristic (stopword/charset argmax) — the SQL oracle
+    reproduces the identical argmax (first-max-wins) formula."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "lang_pred": detect_language(batch.column("text")),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_text_fingerprint(sf_dir: str):
+    """Document fingerprint (rows-only: the 64-bit hash is not
+    reproducible in SQL)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "fingerprint": fingerprint64(batch.column("text")),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_events_sessions_per_user(sf_dir: str):
+    """Session windows (1h gap) rolled up per user."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sess = session_windows(ds, key_col="user_id", ts_col="ts", gap_seconds=3600.0)
+    agg = sess.groupby("user_id").aggregate(Count(alias_name="n_sessions"))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "n_sessions": batch.column("n_sessions").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def q_knn_embeddings(sf_dir: str):
+    """Brute-force cosine top-10 for the vec_id=0 embedding."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = None
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 14):
+        mask = pc.equal(b.column("vec_id"), 0)
+        sub = b.filter(mask)
+        if sub.num_rows:
+            q0 = np.asarray(sub.column("embedding")[0].as_py(), dtype=np.float64)
+            break
+    top = knn_brute(ds, q0, k=10, embedding_col="embedding", id_col="vec_id")
+    return pa.table(
+        {
+            "vec_id": top.column("vec_id").cast(pa.int64()),
+            "score": pa.array(
+                _round_away(top.column("score").to_numpy(zero_copy_only=False), 4)
+            ),
+        }
+    )
+
+
+def q_dedup_embedding_cosine(sf_dir: str):
+    """Embedding near-dup pairs at cosine ≥ 0.9 (broadcast strategy)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_near_dups(ds, threshold=0.9, id_col="vec_id")
+    return pa.table(
+        {
+            "id_a": pairs.column("id_a").cast(pa.int64()),
+            "id_b": pairs.column("id_b").cast(pa.int64()),
+        }
+    )
+
+
+def q_dedup_minhash_docs(sf_dir: str):
+    """MinHash-LSH candidate pairs over documents (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=(1, 4))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").cast(pa.int64()),
+                "doc_b": batch.column("doc_b").cast(pa.int64()),
+                "n_bands": batch.column("n_bands").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_dedup_simhash_docs(sf_dir: str):
+    """SimHash near-dup candidates over documents (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_candidates(ds, id_col="doc_id", max_hamming=3, concurrency=(1, 4))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").cast(pa.int64()),
+                "doc_b": batch.column("doc_b").cast(pa.int64()),
+                "hamming": batch.column("hamming").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog distinct estimate (rows-only; ±2% vs the exact
+    query, asserted in tests)."""
+    from ..functions.sketches import HyperLogLog, hash64
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog()
+        h.add_hashes(hash64(batch.column("user_id").to_numpy(zero_copy_only=False)))
+        return pa.table({"registers": pa.array([h.registers.tobytes()], pa.binary())})
+
+    partials = _as_table(ds.map_batches(partial, batch_format="pyarrow"))
+    merged = HyperLogLog()
+    for blob in partials.column("registers").to_pylist():
+        merged = merged.merge(
+            HyperLogLog(registers=np.frombuffer(blob, dtype=np.uint8).copy())
+        )
+    return pa.table(
+        {"n_distinct_est": pa.array([int(round(merged.estimate()))], pa.int64())}
+    )
+
+
+def q_tdigest_value_quantiles(sf_dir: str):
+    """t-digest quantiles of events.value (rows-only; tolerance-checked
+    against numpy in tests)."""
+    from ..functions.sketches import TDigest
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pickle
+
+        d = TDigest()
+        d.add(batch.column("value").to_numpy(zero_copy_only=False))
+        d._compress()
+        return pa.table({"digest": pa.array([pickle.dumps(d)], pa.binary())})
+
+    import pickle
+
+    partials = _as_table(ds.map_batches(partial, batch_format="pyarrow"))
+    merged = TDigest()
+    for blob in partials.column("digest").to_pylist():
+        merged = merged.merge(pickle.loads(blob))
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    return pa.table(
+        {
+            "quantile": pa.array(list(qs), pa.float64()),
+            "value_est": pa.array(
+                [round(v, 3) for v in merged.quantiles(qs)], pa.float64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image-table pipelines (the flagship; rows-only — no images in sf_dir)
+# ---------------------------------------------------------------------------
+
+_IMAGE_FIXTURE_ROWS = 1500
+
+
+@functools.lru_cache(maxsize=4)
+def _image_fixture_dir(n: int = _IMAGE_FIXTURE_ROWS, seed: int = 42) -> str:
+    """Deterministic image table synthesized once per process under
+    /tmp (BASELINE.json input_hint shape; no external data)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tempfile.gettempdir(), f"mtbray_images_n{n}_s{seed}")
+    marker = os.path.join(d, "_complete")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        table = make_image_rows(0, n, seed=seed, total=n, n_partitions=8)
+        for pid in range(8):
+            part = table.filter(pc.equal(table.column(PARTITION_COL), pid))
+            pq.write_table(part, os.path.join(d, f"part-{pid}.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def q_image_validate(sf_dir: str):
+    """Flagship: full rule-set validation over the synthesized image
+    table — returns the violations table (clean input ⇒ 0 rows)."""
+    d = _image_fixture_dir()
+    res = run_validation(d, include_unique=True)
+    return _as_table(res.violations)
+
+
+def q_image_verdict_summary(sf_dir: str):
+    """Verdict roll-up counts for the image table."""
+    d = _image_fixture_dir()
+    res = run_validation(d)
+    agg = res.verdicts.groupby("verdict").aggregate(Count(alias_name="n"))
+    return _as_table(agg)
+
+
+def q_image_stats_profile(sf_dir: str):
+    """Per-partition stats/sketch profile of the image table."""
+    d = _image_fixture_dir()
+    meta = rd.read_parquet(d, columns=["image_id", "w", "h", "caption", PARTITION_COL])
+    return stats_report(profile_stats(meta, concurrency=(1, 4)))
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal chain: decode → feature-extract (actor pool) over a
+    slice of the image table."""
+    from ..stages.multimodal import image_features
+
+    d = _image_fixture_dir()
+    ds = rd.read_parquet(d, columns=["image_id", "bytes", "w", "h", "fmt"]).limit(200)
+    feats = image_features(ds, concurrency=(1, 4))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        dims = pc.list_value_length(batch.column("embedding"))
+        return pa.table(
+            {"image_id": batch.column("image_id"), "feature_dim": dims.cast(pa.int64())}
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB; views pre-registered by the driver)
+# ---------------------------------------------------------------------------
+
+
+def _langid_sql() -> str:
+    cols = []
+    for lang, words in STOPWORDS.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        cols.append(
+            f"CAST(len(regexp_extract_all(lower(text), '{pattern}')) AS DOUBLE) AS c_{lang}"
+        )
+    cols.append(
+        f"3.0 * len(regexp_extract_all(text, '{CJK_PATTERN}')) AS c_zh"
+    )
+    return f"""
+WITH c AS (SELECT doc_id, {', '.join(cols)} FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_zh) = 0 THEN 'und'
+       WHEN c_en >= greatest(c_de, c_fr, c_es, c_zh) THEN 'en'
+       WHEN c_de >= greatest(c_fr, c_es, c_zh) THEN 'de'
+       WHEN c_fr >= greatest(c_es, c_zh) THEN 'fr'
+       WHEN c_es >= c_zh THEN 'es'
+       ELSE 'zh' END AS lang_pred
+FROM c"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "check_range_quantity": """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 30""",
+    "check_valueset_returnflag": """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END AS BIGINT) AS valid
+        FROM lineitem GROUP BY l_returnflag""",
+    "check_presence_documents": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_text_missing,
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_missing
+        FROM documents""",
+    "check_regex_doc_start": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        WHERE NOT regexp_matches(coalesce(text, ''), '^[a-z]')""",
+    "check_xfield_nchars": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        WHERE text IS NULL OR length(text) <> n_chars""",
+    "check_unique_orderkey": """
+        SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""",
+    "check_ref_users_without_purchase": """
+        SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
+        WHERE user_id NOT IN
+          (SELECT user_id FROM events WHERE event_type = 'purchase')""",
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "agg_latest_event_per_user": """
+        SELECT CAST(user_id AS BIGINT) AS user_id, max(ts) AS last_ts,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id""",
+    "agg_daily_events": """
+        SELECT date_trunc('day', ts) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2""",
+    "agg_top5_users_by_value": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id
+        ORDER BY total_value DESC, user_id LIMIT 5""",
+    "stats_profile_lineitem": """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+               ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag""",
+    "distinct_users_exact": """
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events""",
+    "dedup_exact_by_key": """
+        SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, n_chars HAVING count(*) > 1""",
+    "dedup_exact_text": """
+        SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY text HAVING count(*) > 1""",
+    "text_token_counts": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+        FROM documents""",
+    "text_quality_counts": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_obs,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]')) AS BIGINT) AS n_alpha,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9]')) AS BIGINT) AS n_digit,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '\\s')) AS BIGINT) AS n_space,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+        FROM documents""",
+    "text_langid": _langid_sql(),
+    "events_sessions_per_user": """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        sess AS (
+          SELECT user_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM gaps)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions
+        FROM sess GROUP BY user_id""",
+    "knn_embeddings": """
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               ROUND(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+               ), 4) AS score
+        FROM embeddings
+        ORDER BY list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+               ) DESC, vec_id
+        LIMIT 10""",
+    "dedup_embedding_cosine": """
+        SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.9""",
+}
+
+
+QUERIES = {
+    "check_range_quantity": q_check_range_quantity,
+    "check_valueset_returnflag": q_check_valueset_returnflag,
+    "check_presence_documents": q_check_presence_documents,
+    "check_regex_doc_start": q_check_regex_doc_start,
+    "check_xfield_nchars": q_check_xfield_nchars,
+    "check_unique_orderkey": q_check_unique_orderkey,
+    "check_ref_users_without_purchase": q_check_ref_users_without_purchase,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "agg_latest_event_per_user": q_agg_latest_event_per_user,
+    "agg_daily_events": q_agg_daily_events,
+    "agg_top5_users_by_value": q_agg_top5_users_by_value,
+    "stats_profile_lineitem": q_stats_profile_lineitem,
+    "distinct_users_exact": q_distinct_users_exact,
+    "dedup_exact_by_key": q_dedup_exact_by_key,
+    "dedup_exact_text": q_dedup_exact_text,
+    "text_token_counts": q_text_token_counts,
+    "text_quality_counts": q_text_quality_counts,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "events_sessions_per_user": q_events_sessions_per_user,
+    "knn_embeddings": q_knn_embeddings,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_minhash_docs": q_dedup_minhash_docs,
+    "dedup_simhash_docs": q_dedup_simhash_docs,
+    "hll_distinct_users": q_hll_distinct_users,
+    "tdigest_value_quantiles": q_tdigest_value_quantiles,
+    "image_validate": q_image_validate,
+    "image_verdict_summary": q_image_verdict_summary,
+    "image_stats_profile": q_image_stats_profile,
+    "image_features": q_image_features,
+}

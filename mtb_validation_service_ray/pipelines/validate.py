@@ -72,6 +72,7 @@ def run_validation(
     row_batch_size: int = 8192,
     decode_batch_size: int = 256,
     concurrency: int | tuple[int, int] | None = None,
+    materialize: bool = False,
 ) -> ValidationResult:
     """Run the full rule set; returns lazy violation + verdict Datasets.
 
@@ -86,12 +87,30 @@ def run_validation(
         )
     }
 
+    # budget the actor pools so their sum stays within the cluster: the
+    # decode pass gets the lion's share (it does the per-image work),
+    # the metadata pass a sliver, and the read/shuffle/reduce tasks keep
+    # headroom — two pools each sized to #CPUs would oversubscribe and
+    # serialize everything (measured 20x UDF slowdown).
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    # fixed pools (autoscaling ramps too slowly for bounded jobs), with
+    # the SUM capped below the cluster so read/shuffle tasks always have
+    # a CPU — pools covering every core deadlock the pipeline
+    row_conc = concurrency if concurrency is not None else max(1, cpus // 4)
+    decode_conc = (
+        concurrency
+        if concurrency is not None
+        else max(1, min((cpus * 3) // 5, cpus - max(1, cpus // 4) - 1))
+    )
+
     passes: list[rd.Dataset] = []
     meta_ds = _source(source, META_COLUMNS)
     passes.append(
         run_row_pass(
             meta_ds, ruleset, broadcast,
-            batch_size=row_batch_size, concurrency=concurrency,
+            batch_size=row_batch_size, concurrency=row_conc,
         )
     )
     if include_decode:
@@ -99,7 +118,7 @@ def run_validation(
         passes.append(
             run_decode_pass(
                 decode_ds, ruleset,
-                batch_size=decode_batch_size, concurrency=concurrency,
+                batch_size=decode_batch_size, concurrency=decode_conc,
             )
         )
     if include_unique:
@@ -121,4 +140,96 @@ def run_validation(
         violations = violations.union(p)
 
     ids = _source(source, ["image_id", PARTITION_COL])
+    if materialize:
+        # pin the (small) violations result so the verdict roll-up reuses
+        # it instead of re-executing every pass
+        violations = violations.materialize()
     return ValidationResult(violations=violations, verdicts=verdicts(ids, violations))
+
+
+def run_validation_fused(
+    source: Any,
+    *,
+    ruleset: RuleSet | None = None,
+    caption_refs: Iterable[str] | pa.Array | None = None,
+    annotations: rd.Dataset | pa.Table | Iterable[str] | None = None,
+    include_unique: bool = True,
+    batch_size: int = 512,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ValidationResult:
+    """Single-read variant: ONE actor pool evaluates every row-local
+    rule and emits id-marker rows alongside violations; uniqueness and
+    the verdict roll-up derive from that (small) combined stream after
+    one ``materialize()``.  Fastest when (ids + issues) fit the object
+    store / spill budget; at id-stream scales beyond that, use
+    ``run_validation`` which re-reads the id column from storage
+    (stages/fused.py docstring)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.fused import ALL_COLUMNS as ALL_COLUMNS_FUSED
+    from ..stages.fused import ID_MARKER, run_fused_pass
+
+    ruleset = ruleset if ruleset is not None else default_image_ruleset()
+    broadcast = {
+        "caption_refs": (
+            caption_refs if caption_refs is not None else frozenset(CAPTION_KEYS)
+        )
+    }
+    annotation_keys = None
+    if annotations is not None:
+        if isinstance(annotations, rd.Dataset):
+            annotations = pa.concat_tables(
+                annotations.select_columns(["image_id"]).iter_batches(
+                    batch_format="pyarrow", batch_size=1 << 16
+                )
+            )
+        if isinstance(annotations, pa.Table):
+            annotation_keys = _pc.unique(
+                annotations.column("image_id").combine_chunks()
+                if isinstance(annotations.column("image_id"), pa.ChunkedArray)
+                else annotations.column("image_id")
+            )
+        else:
+            annotation_keys = pa.array(sorted(set(annotations)), pa.string())
+
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    if isinstance(source, (str, list)):
+        # scale read parallelism with the cluster (a fixed-width read
+        # becomes the non-scaling term between cluster sizes)
+        input_ds = io_shim.read_table(
+            source, columns=ALL_COLUMNS_FUSED, override_num_blocks=2 * cpus
+        )
+    else:
+        input_ds = _source(source, ALL_COLUMNS_FUSED)
+    combined = run_fused_pass(
+        input_ds, ruleset, broadcast,
+        annotation_keys=annotation_keys,
+        batch_size=batch_size, concurrency=concurrency,
+    ).materialize()
+
+    def _only_ids(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(_pc.equal(batch.column("rule_id"), ID_MARKER))
+        return pa.table(
+            {
+                "image_id": sub.column("record_id"),
+                PARTITION_COL: sub.column(PARTITION_COL),
+            }
+        )
+
+    def _only_violations(batch: pa.Table) -> pa.Table:
+        return batch.filter(_pc.not_equal(batch.column("rule_id"), ID_MARKER))
+
+    id_rows = combined.map_batches(_only_ids, batch_format="pyarrow")
+    row_violations = combined.map_batches(_only_violations, batch_format="pyarrow")
+    if include_unique:
+        from .verdicts import verdicts_with_unique
+
+        verdict_ds, uq_violations = verdicts_with_unique(id_rows, row_violations)
+        return ValidationResult(
+            violations=row_violations.union(uq_violations), verdicts=verdict_ds
+        )
+    return ValidationResult(
+        violations=row_violations, verdicts=verdicts(id_rows, row_violations)
+    )

@@ -78,9 +78,20 @@ def _finalize(batch: pa.Table) -> pa.Table:
 
 def verdicts(ids: rd.Dataset, violations: rd.Dataset) -> rd.Dataset:
     """Per-record verdicts over the union of all record ids and all
-    violation rows.  ``ids`` needs columns image_id (+partition_id)."""
-    tagged = ids.map_batches(_id_rows, batch_format="pyarrow").union(
-        violations.map_batches(_violation_rows, batch_format="pyarrow")
+    violation rows (``ids`` needs image_id + partition_id).
+
+    One coarse bucketed exchange: tagged rows are hashed into ≈#CPU
+    buckets and each bucket reduces with a vectorized pandas groupby —
+    far cheaper than a generic per-key aggregate at this shape."""
+    import ray
+
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    tagged = (
+        ids.map_batches(_id_rows, batch_format="pyarrow")
+        .union(violations.map_batches(_violation_rows, batch_format="pyarrow"))
+        # coalesce the many tiny tagged blocks: the sort-based aggregate
+        # is quadratic in (input blocks × output partitions)
+        .repartition(n_parts)
     )
     agg = tagged.groupby("record_id").aggregate(
         Max("rank", alias_name="max_rank"),
@@ -88,6 +99,84 @@ def verdicts(ids: rd.Dataset, violations: rd.Dataset) -> rd.Dataset:
         Max(PARTITION_COL, alias_name="pid"),
     )
     return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
+def verdicts_with_unique(
+    ids: rd.Dataset, violations: rd.Dataset
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Verdict roll-up AND identifier-uniqueness scan in ONE hash
+    aggregate: the id-marker rows carry an occurrence counter, so a
+    record id seen more than once yields an R-UQ-ID violation (error)
+    and its verdict is escalated accordingly — saving the second
+    shuffle the standalone unique pass would cost."""
+    import ray
+
+    from ..stages.unique import PATH as UQ_PATH
+    from ..stages.unique import RULE_ID as UQ_RULE_ID
+    from ..stages.unique import SEVERITY as UQ_SEVERITY
+
+    uq_rank = SEVERITY_RANK[UQ_SEVERITY]
+
+    def id_rows_occ(batch: pa.Table) -> pa.Table:
+        t = _id_rows(batch)
+        return t.append_column("occ", pa.array([1] * len(t), pa.int64()))
+
+    def violation_rows_occ(batch: pa.Table) -> pa.Table:
+        t = _violation_rows(batch)
+        return t.append_column("occ", pa.array([0] * len(t), pa.int64()))
+
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    tagged = (
+        ids.map_batches(id_rows_occ, batch_format="pyarrow")
+        .union(violations.map_batches(violation_rows_occ, batch_format="pyarrow"))
+        .repartition(n_parts)
+    )
+    agg = tagged.groupby("record_id").aggregate(
+        Max("rank", alias_name="max_rank"),
+        Sum("cnt", alias_name="n_issues"),
+        Max(PARTITION_COL, alias_name="pid"),
+        Sum("occ", alias_name="n_occ"),
+    ).materialize()
+
+    def finalize_with_uq(batch: pa.Table) -> pa.Table:
+        dup = pc.greater(pc.fill_null(batch.column("n_occ"), 0), 1)
+        rank = pc.max_element_wise(
+            pc.fill_null(batch.column("max_rank"), -1).cast(pa.int8()),
+            pc.if_else(dup, pa.scalar(uq_rank, pa.int8()), pa.scalar(-1, pa.int8())),
+        )
+        n_issues = pc.add(
+            batch.column("n_issues").cast(pa.int64()),
+            pc.cast(dup, pa.int64()),
+        )
+        adjusted = pa.table(
+            {
+                "record_id": batch.column("record_id"),
+                "max_rank": rank,
+                "n_issues": n_issues,
+                "pid": batch.column("pid"),
+            }
+        )
+        return _finalize(adjusted)
+
+    def uq_violations(batch: pa.Table) -> pa.Table:
+        dup = batch.filter(pc.greater(pc.fill_null(batch.column("n_occ"), 0), 1))
+        if dup.num_rows == 0:
+            from ..schema import VIOLATION_SCHEMA
+
+            return VIOLATION_SCHEMA.empty_table()
+        from ..schema import violations_table
+
+        return violations_table(
+            dup.column("record_id"),
+            UQ_RULE_ID, UQ_SEVERITY, UQ_PATH,
+            [f"image_id occurs {n} times" for n in dup.column("n_occ").to_pylist()],
+            dup.column("pid").cast(pa.int32()),
+        )
+
+    return (
+        agg.map_batches(finalize_with_uq, batch_format="pyarrow"),
+        agg.map_batches(uq_violations, batch_format="pyarrow"),
+    )
 
 
 def partition_report(verdict_ds: rd.Dataset) -> pa.Table:

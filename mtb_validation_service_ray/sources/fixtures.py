@@ -55,13 +55,24 @@ def make_image_rows(
     start: int, count: int, *, seed: int = 42, total: int | None = None,
     n_partitions: int = 8,
 ) -> pa.Table:
-    """Generate rows [start, start+count) of the valid image table.
-
-    Pure function of (start, count, seed, total, n_partitions) → usable
-    as a ``map_batches`` body over ``ray.data.range`` for large scales
-    and directly for unit fixtures."""
+    """Generate rows [start, start+count) of the valid image table."""
     total = total if total is not None else start + count
     idx = np.arange(start, start + count, dtype=np.uint64)
+    return rows_for_indices(idx, seed=seed, total=total, n_partitions=n_partitions)
+
+
+def rows_for_indices(
+    indices, *, seed: int = 42, total: int, n_partitions: int = 8
+) -> pa.Table:
+    """Generate the valid image rows for an arbitrary index array.
+
+    Pure function of (indices, seed, total, n_partitions) — the body of
+    a ``ray.data.range(n).map_batches`` generation pipeline at bench
+    scale and of the driver-side unit fixtures (same bytes either way).
+    """
+    idx = np.asarray(indices, dtype=np.uint64)
+    count = len(idx)
+    start = int(idx[0]) if count else 0
     mixed = _splitmix64(idx + np.uint64(seed) * np.uint64(0x1000003))
     rng = np.random.Generator(np.random.Philox(key=seed, counter=start))
 

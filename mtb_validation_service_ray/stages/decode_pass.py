@@ -51,10 +51,21 @@ class DecodePass:
         self.loop_rules = [r for r in ruleset.rules if r.kind in _LOOP_KINDS]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = len(batch)
         vec_violations, fired = evaluate_rules(
             batch, self.ctx, emit=lambda r: rule_needs_bytes(r) and r.kind in KERNELS
         )
+        out = [vec_violations] if vec_violations.num_rows else []
+        out.extend(self.run_loop_rules(batch, fired))
+        if not out:
+            return VIOLATION_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    def run_loop_rules(
+        self, batch: pa.Table, fired: dict[str, np.ndarray]
+    ) -> list[pa.Table]:
+        """Per-image decode rules (magic sniff, phash/PSNR integrity),
+        gated by the shared ``fired`` masks; returns violation tables."""
+        n = len(batch)
         ids = batch.column("image_id").to_pylist()
         payloads = batch.column("bytes").to_pylist()
         ws = batch.column("w").to_pylist()
@@ -67,7 +78,7 @@ class DecodePass:
             else [None] * n
         )
 
-        out: list[pa.Table] = [vec_violations] if vec_violations.num_rows else []
+        out: list[pa.Table] = []
         for rule in self.loop_rules:
             gate = np.ones(n, dtype=bool)
             for dep in rule.requires:
@@ -122,9 +133,7 @@ class DecodePass:
                         pa.array([pids[i] for i in idx], pa.int32()),
                     )
                 )
-        if not out:
-            return VIOLATION_SCHEMA.empty_table()
-        return pa.concat_tables(out)
+        return out
 
 
 def run_decode_pass(
@@ -137,7 +146,7 @@ def run_decode_pass(
     if concurrency is None:
         import ray
 
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+        concurrency = max(2, (int(ray.cluster_resources().get("CPU", 8)) * 3) // 5)
     return ds.map_batches(
         DecodePass,
         batch_format="pyarrow",

@@ -190,7 +190,7 @@ def minhash_lsh_candidates(
     if concurrency is None:
         import ray
 
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     band_rows = ds.map_batches(
         MinHashStage,
         batch_format="pyarrow",
@@ -308,7 +308,7 @@ def simhash_candidates(
     if concurrency is None:
         import ray
 
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     with_hash = ds.map_batches(
         SimHashStage,
         batch_format="pyarrow",

@@ -59,9 +59,10 @@ def run_row_pass(
         for k, v in (broadcast or {}).items()
     }
     if concurrency is None:
-        # autoscaling pool bounded by the cluster CPU count; shares the
-        # node with the read stage and the other passes
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 8))))
+        # fixed pool sized to the cluster (autoscaling ramps too slowly
+        # for bounded jobs); callers doing multi-pass pipelines pass an
+        # explicit budget
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     return ds.map_batches(
         RowPass,
         batch_format="pyarrow",

@@ -1,0 +1,330 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Training-data-pipeline operators (north-rule additions; no reference
+analog):
+
+* ``knn_brute`` — brute-force cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch does one numpy matmul
+  (float64), per-batch top-k candidates stream to the driver where a
+  final k-way merge runs over #batches × k rows.  Exact; the baseline.
+* ``cosine_near_dups`` — all pairs with cosine ≥ threshold.  Broadcast
+  variant (matrix fits the object store: ≤ ~10^6 × d) does
+  batch × all matmuls; the scale path buckets vectors by random-
+  hyperplane LSH signatures first (pigeonhole over signature chunks, as
+  in SimHash) and verifies exact cosine only within buckets.
+* ``ivf_knn`` — IVF-style two-stage search: k-means centroids fit on a
+  driver-side sample, every vector assigned to its nearest centroid in
+  one map_batches pass, queries probe only the ``n_probe`` nearest
+  cells.  Approximate; the 10^12-scale path.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_brute(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Exact cosine top-k per query row → table
+    (query_idx, vec_id, score) sorted by (query_idx, -score, vec_id)."""
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_ref = ray.put(q)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, embedding_col))
+        sims = m @ qm.T  # (batch, n_queries)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n_q = qm.shape[0]
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(n_q):
+            rows = top[:, qi]
+            out_q.extend([qi] * len(rows))
+            out_id.extend(ids[rows])
+            out_s.extend(sims[rows, qi])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_id),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(
+        batch_topk, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    # driver-side k-way merge over the small candidate stream
+    per_query: dict[int, list] = {}
+    for b in candidates.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        for qi, vid, s in zip(
+            b.column("query_idx").to_pylist(),
+            b.column(id_col).to_pylist(),
+            b.column("score").to_pylist(),
+        ):
+            heap = per_query.setdefault(qi, [])
+            heapq.heappush(heap, (s, vid))
+            if len(heap) > k:
+                heapq.heappop(heap)
+    out_q, out_id, out_s = [], [], []
+    for qi in sorted(per_query):
+        for s, vid in sorted(per_query[qi], key=lambda t: (-t[0], t[1])):
+            out_q.append(qi)
+            out_id.append(vid)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            id_col: pa.array(out_id),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def cosine_near_dups(
+    ds: rd.Dataset,
+    *,
+    threshold: float = 0.95,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    strategy: str = "broadcast",
+    lsh_bits: int = 16,
+    lsh_chunks: int = 4,
+    seed: int = 13,
+    batch_size: int = 4096,
+) -> pa.Table | rd.Dataset:
+    """All pairs (a < b) with cosine similarity ≥ threshold.
+
+    strategy="broadcast": exact — ship the full normalized matrix via
+    ``ray.put`` (fine to ~10^6 vectors), one matmul per batch.
+    strategy="lsh": approximate candidate generation via random-
+    hyperplane signatures bucketed by signature chunk (any pair with few
+    differing bits shares a chunk), exact verification inside buckets."""
+    if strategy == "broadcast":
+        rows = []
+        ids_all = []
+        for b in ds.select_columns([id_col, embedding_col]).iter_batches(
+            batch_format="pyarrow", batch_size=1 << 14
+        ):
+            rows.append(_batch_matrix(b, embedding_col))
+            ids_all.extend(b.column(id_col).to_pylist())
+        matrix = _normalize(np.vstack(rows))
+        ids_np = np.asarray(ids_all)
+        order = np.argsort(ids_np)
+        matrix, ids_np = matrix[order], ids_np[order]
+        m_ref = ray.put((matrix, ids_np))
+
+        def batch_pairs(batch: pa.Table) -> pa.Table:
+            full, full_ids = ray.get(m_ref)
+            m = _normalize(_batch_matrix(batch, embedding_col))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            sims = m @ full.T
+            bi, fj = np.nonzero(sims >= threshold)
+            keep = ids[bi] < full_ids[fj]  # a < b, also drops self-pairs
+            return pa.table(
+                {
+                    "id_a": pa.array(ids[bi][keep]),
+                    "id_b": pa.array(full_ids[fj][keep]),
+                    "cosine": pa.array(np.round(sims[bi, fj][keep], 6), pa.float64()),
+                }
+            )
+
+        pairs = ds.map_batches(
+            batch_pairs, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        table = pa.concat_tables(
+            list(pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+            or [pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})]
+        )
+        return table.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+    if strategy != "lsh":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    first = ds.take(1)
+    dim = len(first[0][embedding_col])
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    planes = rng.normal(size=(dim, lsh_bits))
+    planes_ref = ray.put(planes)
+    chunk_bits = lsh_bits // lsh_chunks
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        m = _normalize(_batch_matrix(batch, embedding_col))
+        bits = (m @ pl) > 0
+        sig = np.zeros(len(m), dtype=np.int64)
+        for b in range(lsh_bits):
+            sig |= bits[:, b].astype(np.int64) << b
+        tables = []
+        for c in range(lsh_chunks):
+            chunk = (sig >> (c * chunk_bits)) & ((1 << chunk_bits) - 1)
+            tables.append(
+                pa.table(
+                    {
+                        id_col: batch.column(id_col),
+                        embedding_col: batch.column(embedding_col),
+                        "chunk_id": pa.array(np.full(len(m), c, dtype=np.int32)),
+                        "chunk_val": pa.array(chunk, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        sub = group.drop_duplicates(id_col).sort_values(id_col)
+        m = _normalize(np.vstack(sub[embedding_col].to_numpy()))
+        ids = sub[id_col].to_numpy()
+        sims = m @ m.T
+        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai],
+                "id_b": ids[bj],
+                "cosine": np.round(sims[ai, bj], 6),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(signatures, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(["chunk_id", "chunk_val"])
+        .map_groups(verify, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+def ivf_knn(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 10_000,
+    kmeans_iters: int = 8,
+    seed: int = 29,
+) -> pa.Table:
+    """IVF top-k: coarse k-means cells + probe-limited exact search.
+
+    The centroid fit uses a bounded driver-side sample (`` take``),
+    assignment and probing are map_batches passes — the index build
+    never materializes the dataset."""
+    sample = ds.select_columns([embedding_col]).limit(sample_size)
+    sample_m = _normalize(
+        np.vstack(
+            [
+                _batch_matrix(b, embedding_col)
+                for b in sample.iter_batches(batch_format="pyarrow", batch_size=1 << 14)
+            ]
+        )
+    )
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    centroids = sample_m[rng.choice(len(sample_m), min(n_cells, len(sample_m)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample_m @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample_m[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe_cells = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    wanted = set(probe_cells.ravel().tolist())
+    c_ref = ray.put((centroids, q, probe_cells))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        cents, qm, probes = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, embedding_col))
+        cell = np.argmax(m @ cents.T, axis=1)
+        mask = np.isin(cell, list(wanted))
+        if not mask.any():
+            return pa.table(
+                {"query_idx": pa.array([], pa.int32()),
+                 id_col: pa.array([], batch.column(id_col).type),
+                 "score": pa.array([], pa.float64())}
+            )
+        m, cell = m[mask], cell[mask]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
+        sims = m @ qm.T
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            allowed = np.isin(cell, probes[qi])
+            if not allowed.any():
+                continue
+            s = sims[allowed, qi]
+            rows = np.argsort(-s)[: min(k, len(s))]
+            out_q.extend([qi] * len(rows))
+            out_id.extend(ids[allowed][rows])
+            out_s.extend(s[rows])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_id, batch.column(id_col).type),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    candidates = ds.map_batches(probe, batch_format="pyarrow", batch_size=4096)
+    per_query: dict[int, list] = {}
+    for b in candidates.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        for qi, vid, s in zip(
+            b.column("query_idx").to_pylist(),
+            b.column(id_col).to_pylist(),
+            b.column("score").to_pylist(),
+        ):
+            heap = per_query.setdefault(qi, [])
+            heapq.heappush(heap, (s, vid))
+            if len(heap) > k:
+                heapq.heappop(heap)
+    out_q, out_id, out_s = [], [], []
+    for qi in sorted(per_query):
+        for s, vid in sorted(per_query[qi], key=lambda t: (-t[0], t[1])):
+            out_q.append(qi)
+            out_id.append(vid)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            id_col: pa.array(out_id),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )

@@ -205,7 +205,7 @@ def profile_stats(
     if concurrency is None:
         import ray
 
-        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 8)) // 2))
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
     partials = ds.map_batches(
         StatsPass,
         batch_format="pyarrow",

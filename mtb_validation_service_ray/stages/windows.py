@@ -1,0 +1,97 @@
+"""Windowed / grouped-temporal operators over the events table.
+
+The reference is strictly request/response batch-of-one — no windows,
+watermarks or late data (SURVEY.md §2.3 "Streaming-only: none").  These
+operators cover the stream-shaped workloads a training-data pipeline
+still needs on a bounded log: tumbling windows as vectorized
+``groupby`` over a truncated-timestamp key, grouped arg-max ("latest
+event per key" — the dataset promotion of the reference's
+``lastResponsesByTherapy`` grouped arg-max, MTBValidators.scala:686-692)
+and session windows per key.
+
+Ordering assumption: session windows sort each key's group by
+timestamp inside ``map_groups`` — correctness does not depend on input
+order; skewed keys are bounded by the per-user event count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def tumbling_window_agg(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    key_col: str | None = "event_type",
+    window: str = "day",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Tumbling-window aggregate: truncate the timestamp to the window
+    start, then one vectorized hash ``groupby`` — no per-group Python,
+    no ordering requirement (the Ray analog of
+    ``GROUP BY date_trunc(window, ts), key``)."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column(ts_col), unit=window)
+        return batch.append_column("window_start", win)
+
+    keys = ["window_start"] + ([key_col] if key_col else [])
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys)
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name="sum_value"),
+            Mean(value_col, alias_name="avg_value"),
+            Min(value_col, alias_name="min_value"),
+            Max(value_col, alias_name="max_value"),
+        )
+    )
+
+
+def latest_event_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> rd.Dataset:
+    """Grouped arg-max: last timestamp + event count per key via
+    vectorized aggregates (Max/Count) — one shuffle, no per-group
+    Python.  (Reference analog: responses.groupBy(therapy)
+    .map(maxBy(effectiveDate)), MTBValidators.scala:686-692.)"""
+    return ds.groupby(key_col).aggregate(
+        Max(ts_col, alias_name="last_ts"),
+        Count(alias_name="n_events"),
+    )
+
+
+def session_windows(
+    ds: rd.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 3600.0,
+) -> rd.Dataset:
+    """Session windows: per key, sort by timestamp and split where the
+    gap exceeds ``gap_seconds``; emits one row per session.  One hash
+    shuffle on the key; the per-group body is vectorized pandas over
+    that key's events."""
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col, kind="stable")
+        gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
+        session_id = (gaps > gap_seconds).cumsum()
+        out = g.groupby(session_id).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        )
+        out[key_col] = g[key_col].iloc[0]
+        return out.reset_index(drop=True)
+
+    return ds.groupby(key_col).map_groups(sessionize, batch_format="pandas")

@@ -1,0 +1,77 @@
+"""Similarity-search tests: brute-force exactness vs numpy oracle,
+near-dup pair detection, IVF recall."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from mtb_validation_service_ray.stages.similarity import (
+    cosine_near_dups,
+    ivf_knn,
+    knn_brute,
+)
+
+
+def _embedding_table(n=300, d=16, seed=5, planted_dups=3):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, d))
+    # plant near-duplicates of row 0
+    for i in range(1, planted_dups + 1):
+        m[i] = m[0] + rng.normal(scale=0.01, size=d)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+        }
+    ), m
+
+
+def _cosine_topk_oracle(m, q, k):
+    mf = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qf = q / np.linalg.norm(q)
+    sims = mf @ qf
+    order = np.argsort(-sims)[:k]
+    return list(order), sims[order]
+
+
+def test_knn_brute_matches_numpy_oracle():
+    t, m = _embedding_table()
+    # float32 storage: oracle must see the same rounded values
+    m32 = np.vstack(
+        [np.asarray(r, dtype=np.float32) for r in t.column("embedding").to_pylist()]
+    ).astype(np.float64)
+    q = m32[7]
+    got = knn_brute(rd.from_arrow(t), q, k=5)
+    ids, scores = _cosine_topk_oracle(m32, q, 5)
+    assert got.column("vec_id").to_pylist() == ids
+    np.testing.assert_allclose(got.column("score").to_pylist(), scores, rtol=1e-9)
+    assert got.column("vec_id").to_pylist()[0] == 7  # self is nearest
+
+
+def test_cosine_near_dups_broadcast():
+    t, _ = _embedding_table()
+    pairs = cosine_near_dups(rd.from_arrow(t), threshold=0.99)
+    got = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} == got
+
+
+def test_cosine_near_dups_lsh_recalls_planted():
+    t, _ = _embedding_table()
+    pairs = cosine_near_dups(rd.from_arrow(t), threshold=0.99, strategy="lsh").to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    # LSH is approximate but near-identical vectors share all chunks
+    assert {(0, 1), (0, 2), (0, 3)} <= got
+
+
+def test_ivf_knn_recall():
+    t, _ = _embedding_table(n=500)
+    m32 = np.vstack(
+        [np.asarray(r, dtype=np.float32) for r in t.column("embedding").to_pylist()]
+    ).astype(np.float64)
+    q = m32[0]
+    exact = knn_brute(rd.from_arrow(t), q, k=4)
+    approx = ivf_knn(rd.from_arrow(t), q, k=4, n_cells=8, n_probe=4)
+    exact_ids = set(exact.column("vec_id").to_pylist())
+    approx_ids = set(approx.column("vec_id").to_pylist())
+    # planted dups live next to the query — IVF must recall most of them
+    assert len(exact_ids & approx_ids) >= 3
