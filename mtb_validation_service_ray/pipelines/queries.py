@@ -427,6 +427,192 @@ def q_distinct_users_exact(sf_dir: str):
     return pa.table({"n_distinct": pa.array([n], pa.int64())})
 
 
+def q_join_revenue_by_region(sf_dir: str):
+    """Multi-way broadcast join chain (region ← nation ← customer ←
+    orders ← lineitem): the small dimensions ship once via ``ray.put``
+    and the fact table joins against them inside ``map_batches`` — the
+    scale pattern for star joins (no shuffle of lineitem)."""
+    import pandas as pd
+
+    region = _as_table(_read(sf_dir, "region")).to_pandas()
+    nation = _as_table(_read(sf_dir, "nation")).to_pandas()
+    customer = _as_table(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])).to_pandas()
+    orders = _as_table(_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])).to_pandas()
+    # orderkey → region name lookup, built once driver-side, broadcast
+    cust_region = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    cust_region = cust_region.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    order_region = orders.merge(cust_region, left_on="o_custkey", right_on="c_custkey")
+    lookup = dict(zip(order_region.o_orderkey, order_region.r_name))
+    lookup_ref = ray.put(lookup)
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        regions = pd.Series(keys).map(lk).to_numpy(dtype=object)
+        revenue = (
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        t = pa.table({"r_name": pa.array(regions, pa.string()),
+                      "rev": pa.array(revenue, pa.float64())})
+        g = t.group_by(["r_name"]).aggregate([("rev", "sum")])
+        return pa.table({"r_name": g.column("r_name"), "rev": g.column("rev_sum")})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "r_name"
+    ).aggregate(Sum("rev", alias_name="t_rev"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": batch.column("r_name"),
+                "revenue": pa.array(
+                    _round_away(batch.column("t_rev").to_numpy(zero_copy_only=False), 2)
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_parse_props_k(sf_dir: str):
+    """Parser/normalizer family: extract the integer ``k`` from the JSON
+    ``props`` column with a vectorized RE2 capture, aggregate per event
+    type (the reference's parsing = its JSON codecs, SURVEY.md §1.1)."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        extracted = pc.extract_regex(
+            pc.fill_null(batch.column("props"), ""), r'"k":\s*(?P<k>\d+)'
+        )
+        k = pc.cast(pc.struct_field(extracted, "k"), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        g = t.group_by(["event_type"]).aggregate([("k", "sum"), ("k", "count")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "s": g.column("k_sum"),
+                "c": g.column("k_count").cast(pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "event_type"
+    ).aggregate(Sum("s", alias_name="sum_k"), Sum("c", alias_name="n_k"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "sum_k": batch.column("sum_k").cast(pa.int64()),
+                "n_k": batch.column("n_k").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_agg_user_type_fold(sf_dir: str):
+    """Date-filter + fold-to-set (MTBMVHService.sequenceTypes analog,
+    MTBMVHServiceImpl.scala:51-76): per user, over events after a cutoff
+    date, the count of distinct event types and a purchase flag."""
+    cutoff = "2024-01-08"
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("ts"), pa.scalar(cutoff).cast(pa.timestamp("us")))
+        t = batch.filter(keep)
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_type": g.column("event_type"),
+                "one": pa.array([1] * g.num_rows, pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # distinct (user, type) pairs, then fold per user
+    distinct = pairs.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="_n")
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        is_purchase = pc.cast(
+            pc.equal(batch.column("event_type"), "purchase"), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "one": pa.array([1] * len(batch), pa.int64()),
+                "purch": is_purchase,
+            }
+        )
+
+    agg = distinct.map_batches(fold, batch_format="pyarrow").groupby(
+        "user_id"
+    ).aggregate(Sum("one", alias_name="n_types"), Sum("purch", alias_name="purchased"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "n_types": batch.column("n_types").cast(pa.int64()),
+                "has_purchase": pc.greater(batch.column("purchased"), 0),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_censoring_coalesce(sf_dir: str):
+    """Prioritized coalesce (dateOfDeathOrCensoring,
+    MTBValidators.scala:159-174): per user, the purchase date if any,
+    else the latest event date, else the pinned job 'now' — the hidden
+    wall-clock made an explicit parameter."""
+    now = "2026-08-17 00:00:00"  # pinned job parameter (no LocalDate.now)
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        is_purchase = pc.equal(batch.column("event_type"), "purchase")
+        purchase_ts = pc.if_else(is_purchase, batch.column("ts"), pa.nulls(len(batch), pa.timestamp("us")))
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "purchase_ts": purchase_ts,
+                "any_ts": batch.column("ts"),
+            }
+        )
+        g = t.group_by(["user_id"]).aggregate(
+            [("purchase_ts", "max"), ("any_ts", "max")]
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "p": g.column("purchase_ts_max"),
+                "a": g.column("any_ts_max"),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "user_id"
+    ).aggregate(Max("p", alias_name="max_p"), Max("a", alias_name="max_a"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        pinned = pa.scalar(now).cast(pa.timestamp("us"))
+        coalesced = pc.coalesce(batch.column("max_p"), batch.column("max_a"), pinned)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "censoring_ts": coalesced,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Dedup / text / similarity queries (north-rule training-data ops)
 # ---------------------------------------------------------------------------
@@ -809,6 +995,32 @@ ORACLE_SQL: dict[str, str] = {
         SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
         WHERE user_id NOT IN
           (SELECT user_id FROM events WHERE event_type = 'purchase')""",
+    "join_revenue_by_region": """
+        SELECT r.r_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name""",
+    "parse_props_k": """
+        SELECT event_type,
+               CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(COUNT(regexp_extract(props, '"k":\\s*(\\d+)', 1)) AS BIGINT) AS n_k
+        FROM events GROUP BY event_type""",
+    "agg_user_type_fold": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               bool_or(event_type = 'purchase') AS has_purchase
+        FROM events WHERE ts > TIMESTAMP '2024-01-08'
+        GROUP BY user_id""",
+    "censoring_coalesce": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               COALESCE(
+                 MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+                 MAX(ts),
+                 TIMESTAMP '2026-08-17 00:00:00') AS censoring_ts
+        FROM events GROUP BY user_id""",
     "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -902,6 +1114,10 @@ QUERIES = {
     "check_xfield_nchars": q_check_xfield_nchars,
     "check_unique_orderkey": q_check_unique_orderkey,
     "check_ref_users_without_purchase": q_check_ref_users_without_purchase,
+    "join_revenue_by_region": q_join_revenue_by_region,
+    "parse_props_k": q_parse_props_k,
+    "agg_user_type_fold": q_agg_user_type_fold,
+    "censoring_coalesce": q_censoring_coalesce,
     "agg_pricing_summary": q_agg_pricing_summary,
     "agg_latest_event_per_user": q_agg_latest_event_per_user,
     "agg_daily_events": q_agg_daily_events,

@@ -1,0 +1,48 @@
+"""Referential join stages: broadcast vs tagged-union shuffle must
+produce identical orphan sets."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from mtb_validation_service_ray.sources.fixtures import (
+    annotations_table,
+    make_image_rows,
+)
+from mtb_validation_service_ray.stages.referential import orphan_violations
+
+
+def test_broadcast_and_shuffle_strategies_agree():
+    t = make_image_rows(0, 300, seed=21, total=300)
+    ids = t.column("image_id").to_pylist()
+    dropped = sorted([ids[10], ids[150], ids[299]])
+    ann = annotations_table(t, drop_ids=dropped)
+
+    id_ds = rd.from_arrow(t.select(["image_id", "partition_id"]))
+    b = orphan_violations(id_ds, rd.from_arrow(ann), strategy="broadcast").to_pandas()
+    s = orphan_violations(id_ds, rd.from_arrow(ann), strategy="shuffle").to_pandas()
+
+    assert sorted(b.record_id) == dropped
+    assert sorted(s.record_id) == dropped
+    bb = b.sort_values("record_id").reset_index(drop=True)
+    ss = s.sort_values("record_id").reset_index(drop=True)
+    assert bb[["record_id", "rule_id", "severity", "path"]].equals(
+        ss[["record_id", "rule_id", "severity", "path"]]
+    )
+    # partition attribution survives the shuffle path
+    assert set(ss.partition_id) == set(bb.partition_id)
+
+
+def test_shuffle_ignores_extra_annotation_keys():
+    t = make_image_rows(0, 50, seed=22, total=50)
+    ann = annotations_table(t)
+    extra = pa.table(
+        {
+            "image_id": pa.array(
+                ann.column("image_id").to_pylist() + ["img-notintable000001"]
+            ),
+            "note": pa.array([""] * (ann.num_rows + 1)),
+        }
+    )
+    id_ds = rd.from_arrow(t.select(["image_id", "partition_id"]))
+    out = orphan_violations(id_ds, rd.from_arrow(extra), strategy="shuffle")
+    assert out.count() == 0
