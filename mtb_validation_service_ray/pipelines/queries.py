@@ -420,6 +420,29 @@ def q_stats_profile_lineitem(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_stats_salted_returnflag(sf_dir: str):
+    """Skew-safe grouped stats: the salted two-stage aggregate
+    (stages/salt.py) on the 3-value, heavily skewed l_returnflag key —
+    exact, with the hot key spread over S reducers (SURVEY.md §4)."""
+    from ..stages.salt import salted_groupby_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = salted_groupby_sum(ds, "l_returnflag", ["l_quantity"], salt=16)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("sum_l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "n": batch.column("n").cast(pa.int64()),
+                "avg_qty": pa.array(_round_away(s / np.maximum(n, 1), 4)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_distinct_users_exact(sf_dir: str):
     """Exact distinct count (the HLL query's ground truth)."""
     ds = _read(sf_dir, "events", ["user_id"])
@@ -1048,6 +1071,10 @@ ORACLE_SQL: dict[str, str] = {
                min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
                ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty
         FROM lineitem GROUP BY l_returnflag""",
+    "stats_salted_returnflag": """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag""",
     "distinct_users_exact": """
         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events""",
     "dedup_exact_by_key": """
@@ -1123,6 +1150,7 @@ QUERIES = {
     "agg_daily_events": q_agg_daily_events,
     "agg_top5_users_by_value": q_agg_top5_users_by_value,
     "stats_profile_lineitem": q_stats_profile_lineitem,
+    "stats_salted_returnflag": q_stats_salted_returnflag,
     "distinct_users_exact": q_distinct_users_exact,
     "dedup_exact_by_key": q_dedup_exact_by_key,
     "dedup_exact_text": q_dedup_exact_text,

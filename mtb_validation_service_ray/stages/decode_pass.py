@@ -86,6 +86,7 @@ class DecodePass:
                     gate &= ~fired[dep]
             violated = np.zeros(n, dtype=bool)
             messages: list[str] = [""] * n
+            decoded_px: list[tuple[int, np.ndarray]] = []
             for i in np.nonzero(gate)[0]:
                 data, w, h, fmt = payloads[i], ws[i], hs[i], fmts[i]
                 if data is None or fmt is None or w is None or h is None:
@@ -98,7 +99,6 @@ class DecodePass:
                             f"declared fmt={fmt!r} but payload sniffs as {sniffed!r}"
                         )
                 elif rule.kind == "pixel_integrity":
-                    tol = rule.params.get("hamming_tolerance_lossy", 8)
                     try:
                         px = codec.decode(data, fmt, w, h)
                     except Exception as exc:  # undecodable ⇒ integrity violation
@@ -113,12 +113,36 @@ class DecodePass:
                         continue
                     if phashes[i] is None:
                         continue  # phash presence is the metadata pass's business
-                    dist = codec.hamming64(codec.phash(px), phashes[i])
-                    budget = tol if fmt == "lossy" else 0
-                    if dist > budget:
+                    decoded_px.append((i, px))
+            if decoded_px:
+                # phash recompute: batch-vectorized per dims group (the
+                # hot dimension mode makes most rows stackable)
+                tol = rule.params.get("hamming_tolerance_lossy", 8)
+                by_dims: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
+                for i, px in decoded_px:
+                    by_dims.setdefault(px.shape[:2], []).append((i, px))
+                for items in by_dims.values():
+                    idx_arr = np.array([i for i, _ in items])
+                    if len(items) >= 8:  # batch pays off on the hot mode
+                        recomputed = codec.phash_batch(
+                            np.stack([px for _, px in items])
+                        )
+                    else:  # long-tail dims: scalar path is cheaper
+                        recomputed = np.array(
+                            [codec.phash(px) for _, px in items], dtype=np.int64
+                        )
+                    stored = np.array([phashes[i] for i in idx_arr], dtype=np.int64)
+                    dists = codec.hamming64_batch(recomputed, stored)
+                    budgets = np.array(
+                        [tol if fmts[i] == "lossy" else 0 for i in idx_arr]
+                    )
+                    bad = dists > budgets
+                    for j in np.nonzero(bad)[0]:
+                        i = int(idx_arr[j])
                         violated[i] = True
                         messages[i] = (
-                            f"phash hamming distance {dist} exceeds budget {budget}"
+                            f"phash hamming distance {int(dists[j])} exceeds "
+                            f"budget {int(budgets[j])}"
                         )
             fired[rule.rule_id] = violated
             if violated.any():
