@@ -73,6 +73,7 @@ def run_job(
     row_batch_size: int = 8192,
     decode_batch_size: int = 256,
     concurrency: int | tuple[int, int] | None = None,
+    fused: bool = True,
 ) -> JobResult:
     ruleset = ruleset if ruleset is not None else default_image_ruleset()
     rs_hash = ruleset.content_hash()
@@ -92,18 +93,32 @@ def run_job(
     ]
     for files in chunks:
         cid = ckpt.chunk_id(files)
-        meta_v = run_row_pass(
-            io_shim.read_table(files, columns=META_COLUMNS),
-            ruleset, broadcast,
-            batch_size=row_batch_size, concurrency=concurrency,
-        )
-        dec_v = run_decode_pass(
-            io_shim.read_table(files, columns=DECODE_COLUMNS),
-            ruleset,
-            batch_size=decode_batch_size, concurrency=concurrency,
-        )
+        if fused:
+            # one read + one actor pool per chunk (stages/fused.py);
+            # id-marker rows are skipped — the global phase re-reads the
+            # (cheap) id column instead
+            from ..stages.fused import ALL_COLUMNS, run_fused_pass
+
+            union = run_fused_pass(
+                io_shim.read_table(files, columns=ALL_COLUMNS),
+                ruleset, broadcast,
+                batch_size=max(row_batch_size // 8, 256),
+                concurrency=concurrency,
+                emit_id_rows=False,
+            )
+        else:
+            meta_v = run_row_pass(
+                io_shim.read_table(files, columns=META_COLUMNS),
+                ruleset, broadcast,
+                batch_size=row_batch_size, concurrency=concurrency,
+            )
+            dec_v = run_decode_pass(
+                io_shim.read_table(files, columns=DECODE_COLUMNS),
+                ruleset,
+                batch_size=decode_batch_size, concurrency=concurrency,
+            )
+            union = meta_v.union(dec_v)
         chunk_dir = os.path.join(out_dir, "violations", "rowlocal", f"chunk={cid}")
-        union = meta_v.union(dec_v)
         union.write_parquet(chunk_dir)
         os.makedirs(chunk_dir, exist_ok=True)
         if not any(f.endswith(".parquet") for f in os.listdir(chunk_dir)):
@@ -185,3 +200,54 @@ def run_job(
         partition_report=report,
         extra={"ruleset_hash": rs_hash, "now": now},
     )
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entry (`python -m mtb_validation_service_ray.pipelines.job`)
+    — the `ray job submit` target.  Owns its Ray session; the pinned
+    ``--now`` parameter replaces any wall-clock the rules would need
+    (the reference's LocalDate.now trap, MTBValidators.scala:173)."""
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(description="resumable validation job")
+    parser.add_argument("--input", required=True, help="image table uri/dir")
+    parser.add_argument("--out", required=True, help="output directory")
+    parser.add_argument("--chunk-files", type=int, default=8)
+    parser.add_argument("--now", default=None, help="pinned 'now' (ISO date)")
+    parser.add_argument("--no-stats", action="store_true")
+    parser.add_argument("--num-cpus", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    result = run_job(
+        args.input, args.out,
+        chunk_files=args.chunk_files, now=args.now,
+        with_stats=not args.no_stats,
+    )
+    print(json.dumps({
+        "out_dir": result.out_dir,
+        "chunks_run": result.chunks_run,
+        "files_skipped": result.chunks_skipped,
+        "n_violations": result.n_violations,
+        "n_records": result.n_records,
+        "ruleset_hash": result.extra["ruleset_hash"],
+    }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

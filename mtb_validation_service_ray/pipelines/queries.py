@@ -808,6 +808,34 @@ def q_dedup_embedding_cosine(sf_dir: str):
     )
 
 
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """n-gram Jaccard near-dup: MinHash-LSH candidate generation →
+    exact shingle-set Jaccard verification (rows-only; the full
+    candidate→verify chain)."""
+    from ..stages.dedup import verify_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = _as_table(
+        minhash_lsh_candidates(ds, id_col="doc_id", concurrency=(1, 4))
+    )
+    if cands.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    docs = {}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 14):
+        docs.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
+    verified = verify_jaccard_pairs(cands, docs, threshold=0.5)
+    return pa.table(
+        {
+            "doc_a": verified.column("doc_a").cast(pa.int64()),
+            "doc_b": verified.column("doc_b").cast(pa.int64()),
+            "jaccard": verified.column("jaccard"),
+        }
+    )
+
+
 def q_dedup_minhash_docs(sf_dir: str):
     """MinHash-LSH candidate pairs over documents (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1162,6 +1190,7 @@ QUERIES = {
     "knn_embeddings": q_knn_embeddings,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_minhash_docs": q_dedup_minhash_docs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "hll_distinct_users": q_hll_distinct_users,
     "tdigest_value_quantiles": q_tdigest_value_quantiles,

@@ -132,6 +132,7 @@ def run_fused_pass(
     annotation_keys: Iterable[str] | pa.Array | None = None,
     batch_size: int = 1024,
     concurrency: int | tuple[int, int] | None = None,
+    emit_id_rows: bool = True,
 ) -> rd.Dataset:
     refs = {
         k: (v if isinstance(v, ray.ObjectRef) else ray.put(v))
@@ -157,6 +158,7 @@ def run_fused_pass(
             "ruleset": ruleset,
             "broadcast": refs,
             "annotation_keys": ann_ref,
+            "emit_id_rows": emit_id_rows,
         },
         concurrency=concurrency,
     )
