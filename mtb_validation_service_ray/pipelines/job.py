@@ -84,8 +84,19 @@ def run_job(
     }
     os.makedirs(out_dir, exist_ok=True)
 
-    # ---- phase 1: chunked row-local passes with checkpoints ----
+    # ---- phase 0: schema conformance (the engine's "parse" step —
+    # Python lacks the reference's compile-time schema guarantee) ----
     fragments = io_shim.list_fragments(input_uri)
+    if fragments and fragments[0].endswith(".parquet"):
+        from ..schema import SchemaMismatch, check_schema
+
+        problems = check_schema(pq.read_schema(fragments[0]))
+        if problems:
+            raise SchemaMismatch(
+                f"input does not conform to the pinned image schema: {problems}"
+            )
+
+    # ---- phase 1: chunked row-local passes with checkpoints ----
     done = ckpt.completed_files(out_dir, rs_hash)
     pending = [f for f in fragments if f not in done]
     chunks = [

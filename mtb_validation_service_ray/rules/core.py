@@ -291,6 +291,13 @@ def k_ref_member(batch: pa.Table, rule: Rule, ctx: RuleContext) -> np.ndarray:
     return _as_numpy_bool(pc.and_(pc.invert(ok), pc.is_valid(col)))
 
 
+def k_caption_len(batch: pa.Table, rule: Rule, ctx: RuleContext) -> np.ndarray:
+    """Advisory minimum-length check on a string column (info tier)."""
+    col = _col(batch, rule.params["col"])
+    short = pc.less(pc.utf8_length(col), rule.params.get("min_len", 8))
+    return _as_numpy_bool(pc.and_(short, pc.is_valid(col)))
+
+
 KERNELS: dict[str, Callable[[pa.Table, Rule, RuleContext], np.ndarray]] = {
     "presence": k_presence,
     "value_set": k_value_set,
@@ -301,6 +308,7 @@ KERNELS: dict[str, Callable[[pa.Table, Rule, RuleContext], np.ndarray]] = {
     "conditional_presence": k_conditional_presence,
     "raw_len": k_raw_len,
     "ref_member": k_ref_member,
+    "caption_len": k_caption_len,
 }
 
 # kernels that need the bytes column / decoded pixels — these run in the

@@ -79,6 +79,15 @@ def default_image_ruleset(
                 message="phash is the 0 sentinel value",
                 description="quantity within reference range (msi/tmb validators, MTBValidators.scala:410-432)"))
 
+    # advisory info-tier check (the reference's Severity.Info downgrades,
+    # e.g. missing fusion lists, MTBValidators.scala:544-547): very short
+    # captions are flagged informationally, never affecting acceptance
+    rs.add(Rule("R-RG-CAPLEN", "caption_len", "info", "/caption",
+                {"col": "caption", "min_len": 8},
+                requires=("R-PR-CAPTION",),
+                message="caption shorter than 8 characters",
+                description="advisory length check (Severity.Info tier, MTBValidators.scala:544-547)"))
+
     # cross-field derived (PFS/OS weeks ≥ 0, MTBValidators.scala:245-247,312-317)
     rs.add(Rule("R-XF-LEN", "raw_len", "error", "/bytes",
                 {},

@@ -291,6 +291,15 @@ class Invalidators:
         c.touched_rows.add(row)
 
     @classmethod
+    def short_caption(cls, c: Corruption, row: int) -> None:
+        """Advisory info-tier trigger: valid key, implausibly short
+        caption (Severity.Info analog, MTBValidators.scala:544-547)."""
+        c.table = _set_cell(c.table, row, "caption", "red cat")
+        c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-RG-CAPLEN",
+                             severity="info", path="/caption"))
+        c.touched_rows.add(row)
+
+    @classmethod
     def duplicate_id(cls, c: Corruption, row: int) -> None:
         """Append a copy of the row (same image_id) — exactly-one
         violation, both occurrences flagged (MTBValidators.scala:696-698)."""
@@ -317,6 +326,7 @@ DEFAULT_MUTATIONS: list[tuple[str, int]] = [
     ("zero_phash", 97),
     ("implausible_caption", 101),
     ("duplicate_id", 113),
+    ("short_caption", 127),
 ]
 
 
