@@ -341,7 +341,11 @@ def q_agg_latest_event_per_user(sf_dir: str):
         return pa.table(
             {
                 "user_id": batch.column("user_id").cast(pa.int64()),
-                "last_ts": batch.column("last_ts"),
+                # string timestamps: pandas µs/ns resolution varies by
+                # conversion path and breaks value hashes
+                "last_ts": pc.strftime(
+                    batch.column("last_ts"), format="%Y-%m-%d %H:%M:%S"
+                ),
                 "n_events": batch.column("n_events").cast(pa.int64()),
             }
         )
@@ -357,7 +361,9 @@ def q_agg_daily_events(sf_dir: str):
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "window_start": batch.column("window_start"),
+                "window_start": pc.strftime(
+                    batch.column("window_start"), format="%Y-%m-%d %H:%M:%S"
+                ),
                 "event_type": batch.column("event_type"),
                 "n_events": batch.column("n_events").cast(pa.int64()),
                 "sum_value": pa.array(
@@ -629,7 +635,7 @@ def q_censoring_coalesce(sf_dir: str):
         return pa.table(
             {
                 "user_id": batch.column("user_id").cast(pa.int64()),
-                "censoring_ts": coalesced,
+                "censoring_ts": pc.strftime(coalesced, format="%Y-%m-%d %H:%M:%S"),
             }
         )
 
@@ -1067,10 +1073,10 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY user_id""",
     "censoring_coalesce": """
         SELECT CAST(user_id AS BIGINT) AS user_id,
-               COALESCE(
+               strftime(COALESCE(
                  MAX(CASE WHEN event_type = 'purchase' THEN ts END),
                  MAX(ts),
-                 TIMESTAMP '2026-08-17 00:00:00') AS censoring_ts
+                 TIMESTAMP '2026-08-17 00:00:00'), '%Y-%m-%d %H:%M:%S.%f') AS censoring_ts
         FROM events GROUP BY user_id""",
     "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -1081,11 +1087,12 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "agg_latest_event_per_user": """
-        SELECT CAST(user_id AS BIGINT) AS user_id, max(ts) AS last_ts,
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY user_id""",
     "agg_daily_events": """
-        SELECT date_trunc('day', ts) AS window_start, event_type,
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                CAST(count(*) AS BIGINT) AS n_events,
                ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY 1, 2""",
