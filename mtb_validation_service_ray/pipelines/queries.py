@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.textfn import (
     CJK_PATTERN,
@@ -41,7 +41,7 @@ from ..functions.textfn import (
     token_counts,
 )
 from ..schema import PARTITION_COL
-from ..sources.fixtures import annotations_table, make_image_rows
+from ..sources.fixtures import make_image_rows
 from ..stages.dedup import duplicate_groups, minhash_lsh_candidates, simhash_candidates
 from ..stages.similarity import cosine_near_dups, knn_brute
 from ..stages.stats import profile_stats, stats_report

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from typing import Any, Iterable
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray

@@ -26,7 +26,7 @@ from typing import Iterable
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Sum
 
 DEFAULT_SALT = 16
 
