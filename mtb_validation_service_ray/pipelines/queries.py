@@ -944,7 +944,7 @@ def _image_fixture_dir(n: int = _IMAGE_FIXTURE_ROWS, seed: int = 42) -> str:
     /tmp (BASELINE.json input_hint shape; no external data)."""
     import pyarrow.parquet as pq
 
-    d = os.path.join(tempfile.gettempdir(), f"mtbray_images_n{n}_s{seed}")
+    d = os.path.join(tempfile.gettempdir(), f"mtbray_images_v2_n{n}_s{seed}")
     marker = os.path.join(d, "_complete")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
@@ -978,6 +978,26 @@ def q_image_stats_profile(sf_dir: str):
     d = _image_fixture_dir()
     meta = rd.read_parquet(d, columns=["image_id", "w", "h", "caption", PARTITION_COL])
     return stats_report(profile_stats(meta, concurrency=(1, 4)))
+
+
+def q_image_phash_dupgroups(sf_dir: str):
+    """Near-duplicate image groups by perceptual hash: the hot-cluster
+    rows share pixel content per dims, so their phash collides — exact
+    dedup keyed on the hash of the pixels (rows-only)."""
+    d = _image_fixture_dir()
+    ds = rd.read_parquet(d, columns=["image_id", "phash"])
+    out = duplicate_groups(ds, ["phash"], id_col="image_id")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "phash": batch.column("phash").cast(pa.int64()),
+                "keep_id": batch.column("keep_id").cast(pa.string()),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
 
 
 def q_image_features(sf_dir: str):
@@ -1205,4 +1225,5 @@ QUERIES = {
     "image_verdict_summary": q_image_verdict_summary,
     "image_stats_profile": q_image_stats_profile,
     "image_features": q_image_features,
+    "image_phash_dupgroups": q_image_phash_dupgroups,
 }

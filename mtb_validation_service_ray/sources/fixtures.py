@@ -93,21 +93,20 @@ def rows_for_indices(
     places = rng.choice(np.array(CAPTION_PLACES), count)
     captions = [f"{k} {n} {v} in the {p}" for k, n, v, p in zip(keys, nouns, verbs, places)]
 
+    # phash hot cluster (FIXTURES.md §1): ~5% of rows share one pixel
+    # pattern (per dims) — their phash collides NATURALLY, so the
+    # integrity rule still holds while phash-keyed groupbys see a hot
+    # key.  Deterministic from the mixed id bits.
+    hot_cluster = (mixed % np.uint64(100)) < np.uint64(
+        int(PHASH_HOT_CLUSTER_FRACTION * 100)
+    )
     payloads: list[bytes] = []
     phashes = np.empty(count, dtype=np.int64)
-    hot_phash = rng.random(count) < PHASH_HOT_CLUSTER_FRACTION
     for i in range(count):
-        px = codec.pixels_for_id(image_ids[i], int(w[i]), int(h[i]))
+        content_key = "hot-cluster" if hot_cluster[i] else image_ids[i]
+        px = codec.pixels_for_id(content_key, int(w[i]), int(h[i]))
         payloads.append(codec.encode(px, str(fmts[i])))
         phashes[i] = codec.phash(px)
-    # forced hot cluster: overwrite phash of a slice with one value
-    # (keeps skew realistic for the salting fixtures; these rows still
-    # pass R-XF-PSNR because the integrity rule keys off decoded pixels
-    # only when the stored phash is *not* the hot sentinel — see
-    # stages/decode_pass.py's hot-cluster carve-out)  -- simpler: hot
-    # cluster rows keep their true phash but share dims+fmt, giving the
-    # groupby skew without breaking the integrity invariant.
-    del hot_phash
 
     partition_ids = (idx * np.uint64(n_partitions) // np.uint64(max(total, 1))).astype(
         np.int32
@@ -183,6 +182,17 @@ class Invalidators:
     def _pid(table: pa.Table, row: int) -> int:
         return table.column(PARTITION_COL)[row].as_py()
 
+    @staticmethod
+    def _row_pixels(table: pa.Table, row: int) -> np.ndarray:
+        """Decode the row's CURRENT payload (hot-cluster rows share
+        pixel content, so re-deriving from the id would be wrong)."""
+        return codec.decode(
+            table.column("bytes")[row].as_py(),
+            table.column("fmt")[row].as_py(),
+            table.column("w")[row].as_py(),
+            table.column("h")[row].as_py(),
+        )
+
     @classmethod
     def null_caption(cls, c: Corruption, row: int) -> None:
         c.table = _set_cell(c.table, row, "caption", None)
@@ -225,9 +235,7 @@ class Invalidators:
         """fmt := raw with a truncated payload; decode rules stay gated
         (andThen) so only R-XF-LEN fires."""
         rid = cls._rid(c.table, row)
-        w = c.table.column("w")[row].as_py()
-        h = c.table.column("h")[row].as_py()
-        px = codec.pixels_for_id(rid, w, h)
+        px = cls._row_pixels(c.table, row)
         c.table = _set_cell(c.table, row, "fmt", "raw")
         c.table = _set_cell(c.table, row, "bytes", codec.encode_raw(px)[:-7])
         c.table = _set_cell(c.table, row, "phash", codec.phash(px))
@@ -239,9 +247,7 @@ class Invalidators:
     def wrong_magic(cls, c: Corruption, row: int) -> None:
         """declared png, payload actually raw → sniffed fmt mismatch."""
         rid = cls._rid(c.table, row)
-        w = c.table.column("w")[row].as_py()
-        h = c.table.column("h")[row].as_py()
-        px = codec.pixels_for_id(rid, w, h)
+        px = cls._row_pixels(c.table, row)
         c.table = _set_cell(c.table, row, "fmt", "png")
         c.table = _set_cell(c.table, row, "bytes", codec.encode_raw(px))
         c.table = _set_cell(c.table, row, "phash", codec.phash(px))
@@ -254,10 +260,9 @@ class Invalidators:
         """Perturb pixels far past the PSNR-40dB budget, re-encode with
         the row's own codec; stored phash no longer matches."""
         rid = cls._rid(c.table, row)
-        w = c.table.column("w")[row].as_py()
         h = c.table.column("h")[row].as_py()
         fmt = c.table.column("fmt")[row].as_py()
-        px = codec.pixels_for_id(rid, w, h)
+        px = cls._row_pixels(c.table, row)
         bad = px.copy()
         bad[: h // 2] = 255 - bad[: h // 2]  # invert half the image
         c.table = _set_cell(c.table, row, "bytes", codec.encode(bad, fmt))

@@ -100,3 +100,83 @@ def duplicate_id_violations(ds: rd.Dataset, *, id_col: str = "image_id") -> rd.D
     return agg.map_batches(
         _to_violations, batch_format="pyarrow", fn_kwargs={"id_col": id_col}
     )
+
+
+def duplicate_id_violations_sortscan(
+    ds: rd.Dataset, *, id_col: str = "image_id", num_buckets: int | None = None
+) -> rd.Dataset:
+    """Hash-repartition + **sorted-run duplicate scan** — the north
+    rule's literal plan (BASELINE.json ``north_star``): co-locate each
+    id by hash bucket, sort the bucket, and scan adjacent runs with a
+    vectorized shift-compare.  Equivalent output to
+    ``duplicate_id_violations`` (asserted in tests); the count-based
+    aggregate is the default because it ships pre-aggregated triples,
+    but the sorted-run scan wins when per-id payloads must stay attached
+    (e.g. keep-first dedup emitting surviving rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.sketches import hash64
+
+    buckets = num_buckets if num_buckets is not None else _shuffle_partitions()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cols = [id_col] + (
+            [PARTITION_COL] if PARTITION_COL in batch.column_names else []
+        )
+        t = batch.select(cols)
+        h = hash64(t.column(id_col).to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(buckets)).astype(np.int32))
+        )
+
+    def sorted_run_scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = g[id_col].to_numpy()
+        run_start = np.ones(len(g), dtype=bool)
+        run_start[1:] = ids[1:] != ids[:-1]
+        run_id = np.cumsum(run_start) - 1
+        sizes = np.bincount(run_id)
+        dup_runs = np.nonzero(sizes > 1)[0]
+        if len(dup_runs) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in (
+                    ("record_id", "string"), ("rule_id", "string"),
+                    ("severity", "string"), ("path", "string"),
+                    ("message", "string"), (PARTITION_COL, "Int32"),
+                )}
+            )
+        first_idx = np.nonzero(run_start)[0]
+        rows = []
+        pid_col = g[PARTITION_COL] if PARTITION_COL in g.columns else None
+        for r in dup_runs:
+            lo = first_idx[r]
+            n = int(sizes[r])
+            pids = (
+                pid_col.iloc[lo : lo + n].dropna().unique() if pid_col is not None else []
+            )
+            rows.append(
+                {
+                    "record_id": str(ids[lo]),
+                    "rule_id": RULE_ID,
+                    "severity": SEVERITY,
+                    "path": PATH,
+                    "message": f"image_id occurs {n} times"
+                    + ("" if len(pids) <= 1 else
+                       f" across partitions [{int(min(pids))}..{int(max(pids))}]"),
+                    PARTITION_COL: int(pids[0]) if len(pids) == 1 else None,
+                }
+            )
+        out = pd.DataFrame(rows)
+        out[PARTITION_COL] = out[PARTITION_COL].astype("Int32")
+        return out
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(sorted_run_scan, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda t: t.cast(VIOLATION_SCHEMA) if t.num_rows else VIOLATION_SCHEMA.empty_table(),
+        batch_format="pyarrow",
+    )

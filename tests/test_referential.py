@@ -46,3 +46,27 @@ def test_shuffle_ignores_extra_annotation_keys():
     id_ds = rd.from_arrow(t.select(["image_id", "partition_id"]))
     out = orphan_violations(id_ds, rd.from_arrow(extra), strategy="shuffle")
     assert out.count() == 0
+
+
+def test_sorted_run_scan_matches_count_aggregate():
+    """North-star sorted-run duplicate scan ≡ count-based aggregate."""
+    import pyarrow.compute as pc
+
+    from mtb_validation_service_ray.stages.unique import (
+        duplicate_id_violations,
+        duplicate_id_violations_sortscan,
+    )
+
+    t = make_image_rows(0, 200, seed=30, total=200)
+    # plant duplicates: two copies of row 5, three of row 9
+    dup = pa.concat_tables([t, t.slice(5, 1), t.slice(9, 1), t.slice(9, 1)])
+    ids = rd.from_arrow(dup.select(["image_id", "partition_id"]))
+    a = duplicate_id_violations(ids).to_pandas().sort_values("record_id").reset_index(drop=True)
+    b = (
+        duplicate_id_violations_sortscan(ids)
+        .to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    cols = ["record_id", "rule_id", "severity", "path", "message", "partition_id"]
+    assert a[cols].equals(b[cols]), f"\n{a}\n{b}"
+    assert len(a) == 2
+    assert set(a.message) == {"image_id occurs 2 times", "image_id occurs 3 times"}
