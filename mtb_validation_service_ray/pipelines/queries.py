@@ -980,6 +980,50 @@ def q_image_stats_profile(sf_dir: str):
     return stats_report(profile_stats(meta, concurrency=(1, 4)))
 
 
+def q_image_embedding_dedup(sf_dir: str):
+    """Full multimodal chain: decode → feature-extract (actor pool) →
+    embedding-cosine near-dup pairs — the hot-cluster rows share pixel
+    content per dims, so the chain must rediscover them (rows-only;
+    summarized as per-image duplicate-partner counts for stability)."""
+    from ..stages.multimodal import image_features
+
+    d = _image_fixture_dir()
+    ds = rd.read_parquet(d, columns=["image_id", "bytes", "w", "h", "fmt"]).limit(600)
+    feats = image_features(ds, concurrency=(1, 4))
+
+    def feature_hash(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        n = len(batch)
+        per_row = flat.reshape(n, -1)
+        # stable content hash: hash the raw feature bytes per row
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.array([row.tobytes() for row in per_row], dtype=object),
+            categorize=False,
+        ).astype(np.int64)
+        return pa.table(
+            {"image_id": batch.column("image_id"), "fhash": pa.array(h, pa.int64())}
+        )
+
+    hashed = feats.map_batches(feature_hash, batch_format="pyarrow")
+    groups = duplicate_groups(hashed, ["fhash"], id_col="image_id")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "keep_id": batch.column("keep_id").cast(pa.string()),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    out = _as_table(groups.map_batches(cast, batch_format="pyarrow"))
+    return out.sort_by("keep_id")
+
+
 def q_image_phash_dupgroups(sf_dir: str):
     """Near-duplicate image groups by perceptual hash: the hot-cluster
     rows share pixel content per dims, so their phash collides — exact
@@ -1226,4 +1270,5 @@ QUERIES = {
     "image_stats_profile": q_image_stats_profile,
     "image_features": q_image_features,
     "image_phash_dupgroups": q_image_phash_dupgroups,
+    "image_embedding_dedup": q_image_embedding_dedup,
 }

@@ -130,6 +130,46 @@ def _shuffle_missing(
     return agg.map_batches(to_violations, batch_format="pyarrow")
 
 
+def _hashjoin_missing(
+    ds: rd.Dataset, key_col: str, keys: rd.Dataset, rule: Rule
+) -> rd.Dataset:
+    """Native ``Dataset.join(left_anti)``-style path via left_outer +
+    null filter (Ray 2.49's hash-partitioned join operator)."""
+    import ray as _ray
+
+    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    right = keys.select_columns([key_col]).map_batches(
+        lambda b: pa.table(
+            {key_col: pc.unique(b.column(key_col)),
+             "_present": pa.array([1] * len(pc.unique(b.column(key_col))), pa.int8())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = ds.select_columns(
+        [key_col] + ([PARTITION_COL] if PARTITION_COL in ds.schema().names else [])
+    ).join(
+        right, join_type="left_outer", num_partitions=n_parts,
+        on=(key_col,),
+    )
+
+    def to_violations(batch: pa.Table) -> pa.Table:
+        missing = pc.is_null(batch.column("_present"))
+        bad = batch.filter(missing)
+        if bad.num_rows == 0:
+            return VIOLATION_SCHEMA.empty_table()
+        pids = (
+            bad.column(PARTITION_COL)
+            if PARTITION_COL in bad.column_names
+            else pa.nulls(bad.num_rows, pa.int32())
+        )
+        return violations_table(
+            bad.column(key_col), rule.rule_id, rule.severity, rule.path,
+            rule.render_message(), pids,
+        )
+
+    return joined.map_batches(to_violations, batch_format="pyarrow")
+
+
 def orphan_violations(
     ds: rd.Dataset,
     annotations: rd.Dataset | Iterable[str] | pa.Array,
@@ -142,11 +182,16 @@ def orphan_violations(
 
     strategy="broadcast": annotation key set fits in the object store →
     ship once with ``ray.put``; strategy="shuffle": both sides large →
-    tagged-union groupby (one exchange)."""
+    tagged-union groupby (one exchange); strategy="hashjoin": Ray's
+    native hash-partitioned join operator (left_outer + null filter)."""
     if strategy == "shuffle":
         if not isinstance(annotations, rd.Dataset):
             raise ValueError("shuffle strategy needs the key side as a Dataset")
         return _shuffle_missing(ds, key_col, annotations, rule)
+    if strategy == "hashjoin":
+        if not isinstance(annotations, rd.Dataset):
+            raise ValueError("hashjoin strategy needs the key side as a Dataset")
+        return _hashjoin_missing(ds, key_col, annotations, rule)
     if isinstance(annotations, rd.Dataset):
         keys = pc.unique(
             pa.concat_arrays(

@@ -70,3 +70,17 @@ def test_sorted_run_scan_matches_count_aggregate():
     assert a[cols].equals(b[cols]), f"\n{a}\n{b}"
     assert len(a) == 2
     assert set(a.message) == {"image_id occurs 2 times", "image_id occurs 3 times"}
+
+
+def test_hashjoin_strategy_matches_broadcast():
+    """Native Dataset.join path agrees with broadcast anti-join."""
+    t = make_image_rows(0, 200, seed=23, total=200)
+    ids = t.column("image_id").to_pylist()
+    dropped = sorted([ids[7], ids[120]])
+    ann = annotations_table(t, drop_ids=dropped)
+    id_ds = rd.from_arrow(t.select(["image_id", "partition_id"]))
+    out = orphan_violations(
+        id_ds, rd.from_arrow(ann), strategy="hashjoin"
+    ).to_pandas()
+    assert sorted(out.record_id) == dropped
+    assert set(out.rule_id) == {"R-REF-ORPHAN"}
