@@ -130,3 +130,32 @@ def test_schema_conformance():
     problems = check_schema(bad.schema, strict=True)
     assert any("phash" in p for p in problems)
     assert any("w2" in p for p in problems)
+
+
+def test_untouched_rows_pixel_invariant():
+    """FIXTURES.md §4: rows untouched by mutators decode to exactly the
+    generator's pixels (raw/png) or within the PSNR≥40dB budget (lossy),
+    and captions equal the pre-corruption table."""
+    import numpy as np
+
+    from mtb_validation_service_ray.functions import codec
+    from mtb_validation_service_ray.sources.fixtures import corrupted_fixture
+
+    c = corrupted_fixture(200)
+    original = make_image_rows(0, 200, seed=42, total=200)
+    for row in range(200):
+        if row in c.touched_rows:
+            continue
+        fmt = c.table.column("fmt")[row].as_py()
+        w = c.table.column("w")[row].as_py()
+        h = c.table.column("h")[row].as_py()
+        decoded = codec.decode(c.table.column("bytes")[row].as_py(), fmt, w, h)
+        reference = codec.decode(original.column("bytes")[row].as_py(), fmt, w, h)
+        if fmt in ("raw", "png"):
+            assert np.array_equal(decoded, reference)
+        else:
+            assert codec.psnr(decoded, reference) >= 40.0
+        assert (
+            c.table.column("caption")[row].as_py()
+            == original.column("caption")[row].as_py()
+        )
