@@ -108,3 +108,70 @@ def test_manifest_atomicity(tmp_path):
     with open(os.path.join(ckpt.manifest_dir(out), "chunk=bad.json"), "w") as f:
         f.write("{not json")
     assert ckpt.completed_files(out, "h") == {"f1", "f2"}
+
+
+def test_job_with_drift_reference(tmp_path, input_dir):
+    """Drift violations flow through run_job when a reference histogram
+    is supplied and the input's distribution deviates."""
+    import numpy as np
+    import ray.data as rd
+
+    from mtb_validation_service_ray.sources.fixtures import make_image_rows
+    from mtb_validation_service_ray.stages.stats import (
+        profile_stats,
+        reference_histograms,
+    )
+
+    src, c = input_dir
+    # reference built from a deliberately DIFFERENT w distribution
+    ref_table = make_image_rows(0, 1000, seed=77, total=1000)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    shifted_w = pc.add(ref_table.column("w"), 300).cast(pa.int32())
+    shifted = ref_table.set_column(
+        ref_table.column_names.index("w"), "w", shifted_w
+    ).drop_columns(["bytes"])
+    ref = reference_histograms(profile_stats(rd.from_arrow(shifted), concurrency=1))
+
+    out = str(tmp_path / "drift_run")
+    r = run_job(src, out, chunk_files=4, reference_histograms=ref, concurrency=1)
+    df = _violations_df_full(out)
+    drift = df[df.rule_id.str.startswith("R-DRIFT")]
+    assert len(drift) > 0
+    assert set(drift.record_id.str.startswith("partition=")) == {True}
+
+
+def _violations_df_full(out_dir):
+    import pandas as pd
+
+    vdir = os.path.join(out_dir, "violations", "all")
+    frames = [
+        pq.read_table(os.path.join(vdir, f)).to_pandas()
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet")
+    ]
+    return pd.concat(frames).reset_index(drop=True)
+
+
+def test_versioned_catalog_ruleset(input_dir):
+    """fmt catalog version pinning: under catalog v1.0 (no 'lossy'),
+    every lossy row in the valid table becomes an R-VS-FMT violation."""
+    import ray.data as rd
+
+    from mtb_validation_service_ray.sources.fixtures import make_image_rows
+    from mtb_validation_service_ray.stages.row_pass import META_COLUMNS, run_row_pass
+    from mtb_validation_service_ray.sources.fixtures import CAPTION_KEYS
+
+    t = make_image_rows(0, 400, seed=13, total=400)
+    n_lossy = t.filter(
+        __import__("pyarrow").compute.equal(t.column("fmt"), "lossy")
+    ).num_rows
+    assert n_lossy > 0
+    rs_old = default_image_ruleset(fmt_version="1.0")
+    out = run_row_pass(
+        rd.from_arrow(t.select(META_COLUMNS)), rs_old,
+        {"caption_refs": frozenset(CAPTION_KEYS)}, concurrency=1,
+    ).to_pandas()
+    vs = out[out.rule_id == "R-VS-FMT"]
+    assert len(vs) == n_lossy
