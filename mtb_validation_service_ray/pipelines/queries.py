@@ -802,6 +802,53 @@ def q_knn_embeddings(sf_dir: str):
     )
 
 
+def q_knn_ivf_embeddings(sf_dir: str):
+    """IVF two-stage ANN top-10 for the vec_id=0 query (rows-only —
+    approximate by design; recall vs brute force asserted in tests)."""
+    from ..stages.similarity import ivf_knn
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = None
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 14):
+        sub = b.filter(pc.equal(b.column("vec_id"), 0))
+        if sub.num_rows:
+            q0 = np.asarray(sub.column("embedding")[0].as_py(), dtype=np.float64)
+            break
+    top = ivf_knn(ds, q0, k=10, n_cells=8, n_probe=4)
+    return pa.table(
+        {
+            "vec_id": top.column("vec_id").cast(pa.int64()),
+            "score": pa.array(
+                _round_away(top.column("score").to_numpy(zero_copy_only=False), 4)
+            ),
+        }
+    )
+
+
+def q_text_quality_score(sf_dir: str):
+    """Heuristic quality score per document — same closed-form formula
+    reproduced in the SQL oracle (deterministic integer ingredients +
+    one rounded float)."""
+    from ..functions.textfn import quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        score = quality_score(batch.column("text"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "quality": pa.array(
+                    _round_away(
+                        np.asarray(score.to_numpy(zero_copy_only=False)), 6
+                    )
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedup_embedding_cosine(sf_dir: str):
     """Embedding near-dup pairs at cosine ≥ 0.9 (broadcast strategy)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1198,6 +1245,20 @@ ORACLE_SQL: dict[str, str] = {
                CAST(len(regexp_extract_all(coalesce(text, ''), '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
         FROM documents""",
     "text_langid": _langid_sql(),
+    "text_quality_score": """
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(length(coalesce(text, '')) AS DOUBLE) AS n,
+                 CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+                 CAST(len(regexp_extract_all(coalesce(text, ''), '\s')) AS DOUBLE) AS n_space
+          FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               ROUND(GREATEST(LEAST(
+                 0.5 * (n_alpha / GREATEST(n, 1.0))
+                 + 0.3 * LEAST(n / 200.0, 1.0)
+                 + 0.2 * (1.0 - ABS(n_space / GREATEST(n, 1.0) - 0.15)),
+               1.0), 0.0), 6) AS quality
+        FROM q""",
     "events_sessions_per_user": """
         WITH gaps AS (
           SELECT user_id, ts,
@@ -1259,6 +1320,8 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "events_sessions_per_user": q_events_sessions_per_user,
     "knn_embeddings": q_knn_embeddings,
+    "knn_ivf_embeddings": q_knn_ivf_embeddings,
+    "text_quality_score": q_text_quality_score,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_minhash_docs": q_dedup_minhash_docs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
