@@ -262,6 +262,57 @@ def verify_jaccard_pairs(
     )
 
 
+# --- connected components over verified pairs ------------------------------
+
+
+def connected_components(
+    pairs: rd.Dataset | pa.Table,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 10,
+) -> pa.Table:
+    """Cluster ids for near-duplicate groups: iterative min-label
+    propagation over the (small, already-filtered) candidate pair set —
+    each round is one vectorized groupby-min; converges in
+    O(log(diameter)) rounds (the Ray-guide pattern: never union-find on
+    the driver unless the pair set is provably small — here the pair set
+    IS the small verified output of the LSH stages, so the propagation
+    runs driver-side vectorized with numpy).
+
+    Returns (id, cluster) with cluster = min id of the component."""
+    import pyarrow.compute as pc_
+
+    t = pairs if isinstance(pairs, pa.Table) else pa.concat_tables(
+        pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    )
+    if t.num_rows == 0:
+        return pa.table({"id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    a = t.column(a_col).to_numpy(zero_copy_only=False)
+    b = t.column(b_col).to_numpy(zero_copy_only=False)
+    ids = np.unique(np.concatenate([a, b]))
+    idx = {v: i for i, v in enumerate(ids)}
+    ai = np.array([idx[v] for v in a])
+    bi = np.array([idx[v] for v in b])
+    label = np.arange(len(ids))
+    for _ in range(max_rounds):
+        prev = label.copy()
+        # propagate the min label across every edge, both directions
+        np.minimum.at(label, ai, label[bi])
+        np.minimum.at(label, bi, label[ai])
+        # pointer-jump: label ← label[label]
+        label = label[label]
+        if np.array_equal(label, prev):
+            break
+    return pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(ids[label], pa.int64()),
+        }
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

@@ -1,0 +1,65 @@
+"""JSONL ingestion round-trip + connected-components clustering."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from mtb_validation_service_ray.sources.fixtures import make_image_rows
+from mtb_validation_service_ray.sources.ingest import (
+    ingest_jsonl,
+    read_jsonl_images,
+    write_jsonl_images,
+)
+from mtb_validation_service_ray.stages.dedup import connected_components
+
+
+def test_jsonl_ingest_roundtrip(tmp_path):
+    t = make_image_rows(0, 120, seed=8, total=120)
+    path = os.path.join(tmp_path, "drop.jsonl")
+    write_jsonl_images(t, path)
+
+    ds = read_jsonl_images(path)
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=1000))
+    got = got.sort_by("image_id")
+    exp = t.sort_by("image_id")
+    assert got.schema.equals(exp.schema)
+    assert got.equals(exp)
+
+    out = os.path.join(tmp_path, "parquet")
+    n = ingest_jsonl(path, out)
+    assert n == 120
+
+    # ingested table validates clean end-to-end
+    from mtb_validation_service_ray.pipelines.validate import run_validation_fused
+
+    res = run_validation_fused(out)
+    assert res.violations.count() == 0
+    assert res.verdicts.count() == 120
+
+
+def test_connected_components_clusters():
+    # components: {1,2,3,4} via chain, {10,11}, singleton edges absent
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 3, 10], pa.int64()),
+            "doc_b": pa.array([2, 3, 4, 11], pa.int64()),
+        }
+    )
+    out = connected_components(pairs).to_pandas().set_index("id")
+    assert out.loc[[1, 2, 3, 4], "cluster"].nunique() == 1
+    assert out.loc[1, "cluster"] == 1
+    assert out.loc[[10, 11], "cluster"].tolist() == [10, 10]
+    assert len(out) == 6
+
+
+def test_connected_components_long_chain_converges():
+    n = 500
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(np.arange(n - 1), pa.int64()),
+            "doc_b": pa.array(np.arange(1, n), pa.int64()),
+        }
+    )
+    out = connected_components(pairs, max_rounds=12).to_pandas()
+    assert (out.cluster == 0).all()
