@@ -31,7 +31,7 @@ SEED = 42
 
 # images per unit scale factor: sf0.1 → 40k images (≥ 30 s headline at
 # 8 CPUs, decode-dominated — the realistic regime)
-IMAGES_PER_SF = 1_200_000
+IMAGES_PER_SF = 2_400_000
 
 # N and 4N parallelism levels for the scaling proxy.  4→16 keeps BOTH
 # levels inside this sandbox's ~20 physical cores (32 logical CPUs share

@@ -205,7 +205,9 @@ def phash(px: np.ndarray) -> int:
     )
     areas = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
     means = cells / areas
-    bits = (means > np.median(means)).astype(np.uint64).ravel()
+    # tie epsilon: integral-image float rounding must not turn a
+    # constant image into random bits
+    bits = (means > np.median(means) + 1e-6).astype(np.uint64).ravel()
     value = np.uint64(0)
     for bit in bits:
         value = (value << np.uint64(1)) | bit
@@ -247,7 +249,7 @@ def _phash_batch_inner(stack: np.ndarray) -> np.ndarray:
     areas = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
     means = (cells / areas).reshape(n, 64)
     medians = np.median(means, axis=1, keepdims=True)
-    bits = (means > medians).astype(np.uint64)
+    bits = (means > medians + 1e-6).astype(np.uint64)  # tie epsilon, see phash
     weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
     values = (bits * weights).sum(axis=1, dtype=np.uint64)
     return values.astype(np.int64)
