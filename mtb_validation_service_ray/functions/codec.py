@@ -211,7 +211,11 @@ def phash(px: np.ndarray) -> int:
     value = np.uint64(0)
     for bit in bits:
         value = (value << np.uint64(1)) | bit
-    return int(np.int64(value))
+    # constant images hash to all-bits-off; 0 is reserved as the
+    # R-RG-PHASH forbidden sentinel, so remap to the canonical non-zero
+    # constant-image hash (1) — deterministic and shared by all constant
+    # images, so dup-grouping still clusters them
+    return int(np.int64(value)) or 1
 
 
 def phash_batch(stack: np.ndarray, _chunk: int = 64) -> np.ndarray:
@@ -252,7 +256,8 @@ def _phash_batch_inner(stack: np.ndarray) -> np.ndarray:
     bits = (means > medians + 1e-6).astype(np.uint64)  # tie epsilon, see phash
     weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
     values = (bits * weights).sum(axis=1, dtype=np.uint64)
-    return values.astype(np.int64)
+    # keep in lockstep with ``phash``: 0 (constant image) → canonical 1
+    return np.where(values == 0, np.uint64(1), values).astype(np.int64)
 
 
 def hamming64(a: int, b: int) -> int:

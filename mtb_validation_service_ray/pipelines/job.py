@@ -26,6 +26,7 @@ MTBValidators.scala:173, made explicit).
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, field
 from typing import Any, Iterable
 
@@ -51,7 +52,7 @@ from .verdicts import partition_report, verdicts
 class JobResult:
     out_dir: str
     chunks_run: int
-    chunks_skipped: int
+    files_skipped: int
     n_violations: int
     n_records: int
     stats: pa.Table | None = None
@@ -130,6 +131,10 @@ def run_job(
             )
             union = meta_v.union(dec_v)
         chunk_dir = os.path.join(out_dir, "violations", "rowlocal", f"chunk={cid}")
+        # A crash between write_parquet and write_manifest leaves stale
+        # UUID-named part files; a resume re-run would append new parts
+        # beside them and double-emit the chunk's violations — clear first.
+        shutil.rmtree(chunk_dir, ignore_errors=True)
         union.write_parquet(chunk_dir)
         os.makedirs(chunk_dir, exist_ok=True)
         if not any(f.endswith(".parquet") for f in os.listdir(chunk_dir)):
@@ -190,8 +195,6 @@ def run_job(
 
     # derived sinks are rebuilt wholesale on every (re)run — clear them so
     # a resume doesn't append duplicate part files
-    import shutil
-
     for derived in ("verdicts", os.path.join("violations", "all")):
         shutil.rmtree(os.path.join(out_dir, derived), ignore_errors=True)
     verdict_ds = verdicts(id_ds, all_violations).materialize()
@@ -204,7 +207,7 @@ def run_job(
     return JobResult(
         out_dir=out_dir,
         chunks_run=len(chunks),
-        chunks_skipped=len(fragments) - len(pending),  # skipped input files
+        files_skipped=len(fragments) - len(pending),
         n_violations=all_violations.count(),
         n_records=verdict_ds.count(),
         stats=stats_table,
@@ -251,7 +254,7 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps({
         "out_dir": result.out_dir,
         "chunks_run": result.chunks_run,
-        "files_skipped": result.chunks_skipped,
+        "files_skipped": result.files_skipped,
         "n_violations": result.n_violations,
         "n_records": result.n_records,
         "ruleset_hash": result.extra["ruleset_hash"],

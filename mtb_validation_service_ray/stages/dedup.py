@@ -270,7 +270,7 @@ def connected_components(
     *,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_rounds: int = 10,
+    max_rounds: int | None = None,
 ) -> pa.Table:
     """Cluster ids for near-duplicate groups: iterative min-label
     propagation over the (small, already-filtered) candidate pair set —
@@ -296,7 +296,13 @@ def connected_components(
     ai = np.array([idx[v] for v in a])
     bi = np.array([idx[v] for v in b])
     label = np.arange(len(ids))
-    for _ in range(max_rounds):
+    # run to fixpoint: min-propagation + pointer jumping converges in
+    # O(log diameter) rounds and the label vector is monotone
+    # non-increasing, so the loop always terminates.  An explicit
+    # max_rounds is a hard error when exhausted — silently returning
+    # half-merged components would mislabel clusters.
+    rounds = 0
+    while True:
         prev = label.copy()
         # propagate the min label across every edge, both directions
         np.minimum.at(label, ai, label[bi])
@@ -305,6 +311,11 @@ def connected_components(
         label = label[label]
         if np.array_equal(label, prev):
             break
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds"
+            )
     return pa.table(
         {
             "id": pa.array(ids, pa.int64()),

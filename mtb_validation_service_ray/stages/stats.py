@@ -148,7 +148,14 @@ class StatsPass:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if PARTITION_COL in batch.column_names:
-            pids = batch.column(PARTITION_COL).to_numpy(zero_copy_only=False)
+            pid_col = batch.column(PARTITION_COL)
+            if pid_col.null_count:
+                # null pids would coerce to float NaN in to_numpy and
+                # crash int(pid); route them to the -1 sentinel bucket
+                import pyarrow.compute as pc
+
+                pid_col = pc.fill_null(pid_col, -1)
+            pids = pid_col.to_numpy(zero_copy_only=False)
             out_pid, out_n, out_sk = [], [], []
             for pid in np.unique(pids):
                 sub = batch.filter(

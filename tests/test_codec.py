@@ -51,3 +51,15 @@ def test_raw_length_contract():
 
 def test_sniff_rejects_garbage():
     assert codec.sniff_format(b"\x00\x01\x02", 10, 10) is None
+
+
+def test_phash_constant_image_nonzero():
+    """Constant images must NOT hash to the 0 sentinel (R-RG-PHASH would
+    false-positive on legitimate uniform images — ADVICE r1); they share
+    the canonical hash 1, and batch/scalar paths agree."""
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    other = np.full((32, 8, 3), 200, dtype=np.uint8)
+    assert codec.phash(flat) == 1
+    assert codec.phash(other) == 1
+    batch = codec.phash_batch(np.stack([flat, flat]))
+    assert batch.tolist() == [1, 1]

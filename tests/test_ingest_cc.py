@@ -61,5 +61,21 @@ def test_connected_components_long_chain_converges():
             "doc_b": pa.array(np.arange(1, n), pa.int64()),
         }
     )
-    out = connected_components(pairs, max_rounds=12).to_pandas()
+    out = connected_components(pairs).to_pandas()
     assert (out.cluster == 0).all()
+
+
+def test_connected_components_max_rounds_raises():
+    """Exhausting an explicit max_rounds is an error, never a silent
+    half-merged labelling (ADVICE r1)."""
+    import pytest
+
+    n = 5000  # long chain: needs more than 1 round even with pointer jumps
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(np.arange(n - 1), pa.int64()),
+            "doc_b": pa.array(np.arange(1, n), pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1)

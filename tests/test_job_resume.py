@@ -50,7 +50,7 @@ def test_job_end_to_end_and_resume(tmp_path, input_dir):
     out1 = str(tmp_path / "run1")
 
     r1 = run_job(src, out1, annotations=ann, chunk_files=2, concurrency=1)
-    assert r1.chunks_run == 2 and r1.chunks_skipped == 0
+    assert r1.chunks_run == 2 and r1.files_skipped == 0
     assert r1.n_records == c.table.num_rows - 1  # duplicate id collapses
     assert r1.n_violations == len(c.golden)
     assert r1.stats is not None
@@ -59,7 +59,7 @@ def test_job_end_to_end_and_resume(tmp_path, input_dir):
 
     # resume in the same out_dir: all chunks skipped, outputs identical
     r2 = run_job(src, out1, annotations=ann, chunk_files=2, concurrency=1)
-    assert r2.chunks_run == 0 and r2.chunks_skipped == 4
+    assert r2.chunks_run == 0 and r2.files_skipped == 4
     v2 = _violations_df(out1)
     assert v1.equals(v2)
     assert r2.n_violations == r1.n_violations
@@ -83,8 +83,35 @@ def test_job_end_to_end_and_resume(tmp_path, input_dir):
     shutil.copytree(src_chunk, dst_chunk)
 
     r3 = run_job(src, out2, annotations=ann, chunk_files=2, concurrency=1)
-    assert r3.chunks_run == 1 and r3.chunks_skipped == 2
+    assert r3.chunks_run == 1 and r3.files_skipped == 2
     assert _violations_df(out2).equals(v1)
+
+
+def test_resume_after_crash_between_write_and_manifest(tmp_path, input_dir):
+    """A kill between a chunk's write_parquet and its manifest write leaves
+    stale part files without a manifest.  The resume must clear and rewrite
+    the chunk dir, not append beside the stale parts (which double-emits
+    that chunk's violations)."""
+    import shutil
+
+    src, c = input_dir
+    ann = annotations_table(c.table)
+    out = str(tmp_path / "run")
+    r1 = run_job(src, out, annotations=ann, chunk_files=2, concurrency=1)
+    v1 = _violations_df(out)
+
+    # simulate the crash: drop ONE manifest but keep its chunk dir + parts
+    mdir = ckpt.manifest_dir(out)
+    first = sorted(os.listdir(mdir))[0]
+    os.remove(os.path.join(mdir, first))
+    cid = first[len("chunk=") : -len(".json")]
+    chunk_dir = os.path.join(out, "violations", "rowlocal", f"chunk={cid}")
+    assert any(f.endswith(".parquet") for f in os.listdir(chunk_dir))
+
+    r2 = run_job(src, out, annotations=ann, chunk_files=2, concurrency=1)
+    assert r2.chunks_run == 1  # only the manifest-less chunk re-ran
+    assert r2.n_violations == r1.n_violations
+    assert _violations_df(out).equals(v1)
 
 
 def test_changed_ruleset_invalidates_manifests(tmp_path, input_dir):
@@ -95,7 +122,7 @@ def test_changed_ruleset_invalidates_manifests(tmp_path, input_dir):
     pruned = default_image_ruleset().without("R-RG-PHASH")
     r2 = run_job(src, out, ruleset=pruned, chunk_files=4, with_stats=False,
                  concurrency=1)
-    assert r2.chunks_run == 1 and r2.chunks_skipped == 0
+    assert r2.chunks_run == 1 and r2.files_skipped == 0
 
 
 def test_manifest_atomicity(tmp_path):

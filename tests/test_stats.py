@@ -100,3 +100,23 @@ def test_drift_violation_emission():
     w_rows = got[got.rule_id == "R-DRIFT-W"]
     assert list(w_rows.record_id) == ["partition=2"]
     assert set(got.partition_id) == {2}
+
+
+def test_stats_pass_null_partition_id():
+    """Null partition ids fold into the -1 sentinel bucket instead of
+    crashing on int(NaN) (ADVICE r1)."""
+    import pyarrow as pa
+
+    from mtb_validation_service_ray.stages.stats import StatsPass
+
+    batch = pa.table(
+        {
+            "image_id": ["a", "b", "c"],
+            "w": pa.array([10, 20, 30], pa.int32()),
+            "partition_id": pa.array([0, None, None], pa.int32()),
+        }
+    )
+    out = StatsPass()(batch)
+    pids = sorted(out.column("partition_id").to_pylist())
+    assert pids == [-1, 0]
+    assert sum(out.column("n_rows").to_pylist()) == 3
