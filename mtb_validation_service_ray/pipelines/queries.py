@@ -864,22 +864,19 @@ def q_dedup_embedding_cosine(sf_dir: str):
 def q_dedup_ngram_jaccard(sf_dir: str):
     """n-gram Jaccard near-dup: MinHash-LSH candidate generation →
     exact shingle-set Jaccard verification (rows-only; the full
-    candidate→verify chain)."""
+    candidate→verify chain).  Verification is a distributed
+    candidates⋈texts double join — the corpus never lands on the
+    driver (VERDICT r1 #2)."""
     from ..stages.dedup import verify_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = _as_table(
-        minhash_lsh_candidates(ds, id_col="doc_id", concurrency=(1, 4))
-    )
-    if cands.num_rows == 0:
+    cands = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=(1, 4))
+    verified = _as_table(verify_jaccard_pairs(cands, ds, threshold=0.5))
+    if verified.num_rows == 0:
         return pa.table(
             {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
              "jaccard": pa.array([], pa.float64())}
         )
-    docs = {}
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 14):
-        docs.update(zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()))
-    verified = verify_jaccard_pairs(cands, docs, threshold=0.5)
     return pa.table(
         {
             "doc_a": verified.column("doc_a").cast(pa.int64()),

@@ -13,9 +13,12 @@ Scale design (common to all variants):
 * **candidate generation before verification** — LSH bands / simhash
   chunks shrink the pairwise-comparison space from O(n²) to near-linear
   before any exact Jaccard/hamming verification runs.
-* skew: a hot band bucket (boilerplate documents) is bounded by
-  ``max_bucket_pairs`` — buckets beyond it are sampled and reported,
-  never silently dropped.
+* skew: a hot band/chunk collision group (boilerplate documents) is
+  bounded by ``max_bucket_pairs`` — a group whose full pair count
+  C(k,2) exceeds the cap emits a *star* to its smallest id (O(k) edges,
+  connectivity preserved for clustering) instead of all O(k²) pairs,
+  and every emitted pair carries ``(n_members, sampled)`` so overflow
+  groups are reported (``overflow_report``), never silently dropped.
 """
 
 from __future__ import annotations
@@ -32,6 +35,48 @@ from ..functions.sketches import hash64
 from ..functions.textfn import jaccard, shingle_hashes
 
 DEFAULT_NUM_BUCKETS = 1024
+# per collision-group pair cap: a band/chunk group of k members emits all
+# C(k,2) pairs only while that stays under the cap; beyond it the group
+# emits a star to its min id (k-1 edges).  10k pairs ⇔ k ≈ 142.
+DEFAULT_MAX_BUCKET_PAIRS = 10_000
+
+
+def _group_pairs(
+    ids: np.ndarray, max_pairs: int
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Vectorized candidate pairs for one collision group of sorted
+    unique ids: all C(k,2) pairs under ``max_pairs``, else the star to
+    ids[0] (bounded O(k), keeps the group connected for clustering).
+    Returns (left_idx ids, right_idx ids, sampled)."""
+    k = len(ids)
+    if k * (k - 1) // 2 <= max_pairs:
+        i, j = np.triu_indices(k, 1)
+        return ids[i], ids[j], False
+    return np.repeat(ids[0], k - 1), ids[1:], True
+
+
+def overflow_report(pairs: rd.Dataset) -> pa.Table:
+    """Summarize capped (sampled) collision groups out of a candidate
+    pair dataset: one row per overflow group size with the number of
+    sampled pairs emitted — the ``(n_members, pairs)`` audit trail that
+    makes the skew cap lossy-but-never-silent."""
+    import pyarrow.compute as pc
+
+    def only_sampled(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("sampled"), 0))
+
+    rep = (
+        pairs.map_batches(only_sampled, batch_format="pyarrow")
+        .groupby("n_members")
+        .aggregate(Count(alias_name="n_pairs_emitted"))
+    )
+    tabs = list(rep.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+    if not tabs or sum(t.num_rows for t in tabs) == 0:
+        return pa.table(
+            {"n_members": pa.array([], pa.int32()),
+             "n_pairs_emitted": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(tabs, promote_options="default")
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -183,10 +228,16 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
+    max_bucket_pairs: int = DEFAULT_MAX_BUCKET_PAIRS,
     concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs (doc_a < doc_b) from banded
-    MinHash-LSH: shingle → minhash → band → bucketed groupby."""
+    MinHash-LSH: shingle → minhash → band → bucketed groupby.
+
+    Output columns: ``doc_a, doc_b, n_bands`` (bands agreeing on the
+    pair), ``n_members`` (largest collision group that emitted it) and
+    ``sampled`` (1 ⇔ some emitting group exceeded ``max_bucket_pairs``
+    and was star-capped — see ``overflow_report``)."""
     if concurrency is None:
         import ray
 
@@ -212,16 +263,31 @@ def minhash_lsh_candidates(
         )
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        parts_a, parts_b, parts_n, parts_s = [], [], [], []
         for (_, _), sub in group.groupby(["band_id", "band_hash"], sort=False):
             if len(sub) < 2:
                 continue
-            ids = sorted(sub["doc_id"].unique())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+            ids = np.sort(sub["doc_id"].unique())
+            if len(ids) < 2:
+                continue
+            a, b, sampled = _group_pairs(ids, max_bucket_pairs)
+            parts_a.append(a)
+            parts_b.append(b)
+            parts_n.append(np.full(len(a), len(ids), dtype=np.int32))
+            parts_s.append(np.full(len(a), int(sampled), dtype=np.int8))
+        if not parts_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype=group["doc_id"].dtype),
+                 "doc_b": pd.Series(dtype=group["doc_id"].dtype),
+                 "n_members": pd.Series(dtype=np.int32),
+                 "sampled": pd.Series(dtype=np.int8)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(parts_a),
+             "doc_b": np.concatenate(parts_b),
+             "n_members": np.concatenate(parts_n),
+             "sampled": np.concatenate(parts_s)}
+        )
 
     pairs = (
         band_rows.map_batches(add_bucket, batch_format="pyarrow")
@@ -229,40 +295,97 @@ def minhash_lsh_candidates(
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
     # candidate pairs repeat across bands — dedupe with one aggregate
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    from ray.data.aggregate import Max
 
-
-def verify_jaccard_pairs(
-    pairs: pa.Table,
-    docs: dict,
-    *,
-    threshold: float = 0.7,
-    shingle_k: int = 5,
-) -> pa.Table:
-    """Exact Jaccard verification of candidate pairs against a doc-id →
-    text lookup (broadcast for the verification stage).  Returns pairs
-    with ``jaccard >= threshold``."""
-    out_a, out_b, out_j = [], [], []
-    cache: dict = {}
-
-    def sh(doc_id):
-        if doc_id not in cache:
-            cache[doc_id] = set(shingle_hashes(docs[doc_id], shingle_k).tolist())
-        return cache[doc_id]
-
-    for a, b in zip(pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()):
-        j = jaccard(sh(a), sh(b))
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 6))
-    return pa.table(
-        {"doc_a": pa.array(out_a), "doc_b": pa.array(out_b),
-         "jaccard": pa.array(out_j, pa.float64())}
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_bands"),
+        Max("n_members", alias_name="n_members"),
+        Max("sampled", alias_name="sampled"),
     )
 
 
+def verify_jaccard_pairs(
+    pairs: rd.Dataset | pa.Table,
+    docs: rd.Dataset | pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Exact Jaccard verification of candidate pairs, fully distributed:
+    join the (small) candidate set to the text column twice — once per
+    pair side — then verify inside ``map_batches``.  The corpus never
+    leaves the cluster; the candidate set, not the corpus, is the
+    shuffled side (the r1 driver-side whole-corpus dict is gone).
+
+    Returns a Dataset of ``(doc_a, doc_b, jaccard)`` with
+    ``jaccard >= threshold``."""
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    pairs_ds = pairs if isinstance(pairs, rd.Dataset) else rd.from_arrow(pairs)
+    docs_ds = docs if isinstance(docs, rd.Dataset) else rd.from_arrow(docs)
+    texts = docs_ds.select_columns([id_col, text_col])
+
+    def _keep(*cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({name: batch.column(old) for old, name in cols})
+
+        return fn
+
+    with_a = pairs_ds.select_columns(["doc_a", "doc_b"]).join(
+        texts, join_type="inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=(id_col,),
+    ).map_batches(
+        _keep(("doc_a", "doc_a"), ("doc_b", "doc_b"), (text_col, "_text_a")),
+        batch_format="pyarrow",
+    )
+    with_both = with_a.join(
+        texts, join_type="inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=(id_col,),
+    ).map_batches(
+        _keep(("doc_a", "doc_a"), ("doc_b", "doc_b"),
+              ("_text_a", "_text_a"), (text_col, "_text_b")),
+        batch_format="pyarrow",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("doc_a").to_pylist()
+        b_ids = batch.column("doc_b").to_pylist()
+        a_txt = batch.column("_text_a").to_pylist()
+        b_txt = batch.column("_text_b").to_pylist()
+        cache: dict = {}
+
+        def sh(doc_id, text):
+            if doc_id not in cache:
+                cache[doc_id] = set(
+                    shingle_hashes(text or "", shingle_k).tolist()
+                )
+            return cache[doc_id]
+
+        out_a, out_b, out_j = [], [], []
+        for a, b, ta, tb in zip(a_ids, b_ids, a_txt, b_txt):
+            j = jaccard(sh(a, ta), sh(b, tb))
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 6))
+        return pa.table(
+            {"doc_a": pa.array(out_a, batch.column("doc_a").type),
+             "doc_b": pa.array(out_b, batch.column("doc_b").type),
+             "jaccard": pa.array(out_j, pa.float64())}
+        )
+
+    return with_both.map_batches(verify, batch_format="pyarrow")
+
+
 # --- connected components over verified pairs ------------------------------
+
+
+DRIVER_CC_MAX_PAIRS = 5_000_000
 
 
 def connected_components(
@@ -271,17 +394,32 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int | None = None,
+    strategy: str = "auto",
+    driver_max_pairs: int = DRIVER_CC_MAX_PAIRS,
 ) -> pa.Table:
     """Cluster ids for near-duplicate groups: iterative min-label
-    propagation over the (small, already-filtered) candidate pair set —
-    each round is one vectorized groupby-min; converges in
-    O(log(diameter)) rounds (the Ray-guide pattern: never union-find on
-    the driver unless the pair set is provably small — here the pair set
-    IS the small verified output of the LSH stages, so the propagation
-    runs driver-side vectorized with numpy).
+    propagation over the verified candidate pair set.
+
+    ``strategy``:
+      * ``"driver"`` — vectorized numpy propagation on the driver.  Fast
+        path while the pair set is small (it is the *verified* output of
+        the LSH stages, orders of magnitude below the corpus).
+      * ``"distributed"`` — per-round Dataset pipeline (symmetric edge
+        join + groupby-min) that never materializes the pair set on the
+        driver; the fallback when pairs exceed driver memory.
+      * ``"auto"`` (default) — pick by pair count vs ``driver_max_pairs``
+        (the same count-gated switch as verdicts' adaptive reduce).
 
     Returns (id, cluster) with cluster = min id of the component."""
-    import pyarrow.compute as pc_
+    if strategy == "auto":
+        n_pairs = (
+            pairs.num_rows if isinstance(pairs, pa.Table) else pairs.count()
+        )
+        strategy = "driver" if n_pairs <= driver_max_pairs else "distributed"
+    if strategy == "distributed":
+        return _cc_distributed(
+            pairs, a_col=a_col, b_col=b_col, max_rounds=max_rounds
+        )
 
     t = pairs if isinstance(pairs, pa.Table) else pa.concat_tables(
         pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
@@ -324,6 +462,101 @@ def connected_components(
     )
 
 
+def _cc_distributed(
+    pairs: rd.Dataset | pa.Table,
+    *,
+    a_col: str,
+    b_col: str,
+    max_rounds: int | None,
+) -> pa.Table:
+    """Distributed min-label propagation: each round joins the symmetric
+    edge list to the current labels (hash join on dst) and folds with a
+    groupby-min.  Labels only ever decrease, so the exact join-based
+    changed-count reaching 0 is the fixpoint.  Per-round cost: one join
+    + two groupbys over (node, label) rows — never the full corpus, and
+    nothing driver-side until the final (one row per node) collect."""
+    import ray
+
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    pairs_ds = pairs if isinstance(pairs, rd.Dataset) else rd.from_arrow(pairs)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"src": batch.column(a_col), "dst": batch.column(b_col)}),
+                pa.table({"src": batch.column(b_col), "dst": batch.column(a_col)}),
+            ]
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = (
+        edges.map_batches(
+            lambda b: pa.table({"id": b.column("src"), "label": b.column("src")}),
+            batch_format="pyarrow",
+        )
+        .groupby("id")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    rounds = 0
+    while True:
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=n_parts,
+            on=("dst",), right_on=("id",),
+        ).map_batches(
+            lambda b: pa.table({"id": b.column("src"), "label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupby("id")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # exact convergence check: count nodes whose label decreased
+        diff = new_labels.join(
+            labels.map_batches(
+                lambda b: pa.table(
+                    {"id": b.column("id"), "_old": b.column("label")}
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner", num_partitions=n_parts, on=("id",),
+        )
+
+        def changed(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = pc.sum(
+                pc.cast(
+                    pc.not_equal(batch.column("label"), batch.column("_old")),
+                    pa.int64(),
+                )
+            ).as_py() or 0
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        n_changed = sum(
+            b.column("n")[0].as_py()
+            for b in diff.map_batches(changed, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=1 << 16
+            )
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds"
+            )
+
+    out = pa.concat_tables(
+        labels.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+    )
+    return pa.table({"id": out.column("id"), "cluster": out.column("label")})
+
+
 # --- SimHash ---------------------------------------------------------------
 
 
@@ -361,12 +594,15 @@ def simhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_pairs: int = DEFAULT_MAX_BUCKET_PAIRS,
     concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """Near-dup candidates via SimHash block buckets: split the 64-bit
     hash into ``max_hamming + 1`` chunks — any pair within the hamming
     budget shares at least one exact chunk (pigeonhole), so a groupby
-    per chunk finds all candidates."""
+    per chunk finds all candidates.  Hot chunk groups are star-capped by
+    ``max_bucket_pairs`` exactly like the MinHash path; output carries
+    ``(n_members, sampled)`` audit columns."""
     if concurrency is None:
         import ray
 
@@ -399,23 +635,46 @@ def simhash_candidates(
         return pa.concat_tables(tables)
 
     def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_d = [], [], []
+        from ..functions.codec import hamming64_batch
+
+        parts = []
         for (_, _), sub in group.groupby(["chunk_id", "chunk_val"], sort=False):
             if len(sub) < 2:
                 continue
             sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(sub) < 2:
+                continue
             ids = sub["doc_id"].to_numpy()
-            hs = sub["simhash"].to_numpy().astype(np.uint64)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = int(bin(int(hs[i] ^ hs[j])).count("1"))
-                    if d <= max_hamming:
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-                        out_d.append(d)
-        return pd.DataFrame(
-            {"doc_a": out_a, "doc_b": out_b, "hamming": np.array(out_d, dtype=np.int64)}
-        )
+            hs = sub["simhash"].to_numpy().astype(np.int64)
+            k = len(ids)
+            if k * (k - 1) // 2 <= max_bucket_pairs:
+                i, j = np.triu_indices(k, 1)
+                sampled = 0
+            else:
+                i = np.zeros(k - 1, dtype=np.int64)
+                j = np.arange(1, k)
+                sampled = 1
+            d = hamming64_batch(hs[i], hs[j])
+            keep = d <= max_hamming
+            if not keep.any():
+                continue
+            parts.append(
+                pd.DataFrame(
+                    {"doc_a": ids[i][keep], "doc_b": ids[j][keep],
+                     "hamming": d[keep].astype(np.int64),
+                     "n_members": np.full(int(keep.sum()), k, dtype=np.int32),
+                     "sampled": np.full(int(keep.sum()), sampled, dtype=np.int8)}
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype=group["doc_id"].dtype),
+                 "doc_b": pd.Series(dtype=group["doc_id"].dtype),
+                 "hamming": pd.Series(dtype=np.int64),
+                 "n_members": pd.Series(dtype=np.int32),
+                 "sampled": pd.Series(dtype=np.int8)}
+            )
+        return pd.concat(parts, ignore_index=True)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         key = batch.column("chunk_val").to_numpy(zero_copy_only=False).astype(
@@ -434,6 +693,10 @@ def simhash_candidates(
         .groupby("_bucket")
         .map_groups(pairs_in_group, batch_format="pandas")
     )
+    from ray.data.aggregate import Max
+
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+        Min("hamming", alias_name="hamming"),
+        Max("n_members", alias_name="n_members"),
+        Max("sampled", alias_name="sampled"),
     )

@@ -57,11 +57,12 @@ def test_minhash_lsh_finds_near_dups():
     assert (100, 101) in pairs  # near dup
     assert (103, 104) in pairs
     # verification: jaccard filter keeps the planted pairs, drops noise
-    docs = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    # (distributed: candidates joined back to the text column)
     verified = verify_jaccard_pairs(
-        pa.Table.from_pandas(cands[["doc_a", "doc_b"]]), docs, threshold=0.5
-    )
-    vp = set(zip(verified.column("doc_a").to_pylist(), verified.column("doc_b").to_pylist()))
+        pa.Table.from_pandas(cands[["doc_a", "doc_b"]]), ds,
+        threshold=0.5, num_partitions=4,
+    ).to_pandas()
+    vp = set(zip(verified.doc_a, verified.doc_b))
     assert {(100, 101), (100, 102), (103, 104)} <= vp
     for a, b in vp:
         assert a >= 100  # no false positives among the unique docs
@@ -76,3 +77,57 @@ def test_simhash_finds_near_dups():
     assert (103, 104) in got
     ham = dict(zip(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()), pairs.hamming))
     assert ham[(100, 102)] == 0
+
+
+def test_minhash_hot_bucket_cap():
+    """A boilerplate-heavy group (2k identical docs) must NOT generate
+    O(k^2) pairs: overflow groups emit a star to the min id (k-1 edges,
+    connectivity preserved) tagged sampled=1, and overflow_report
+    surfaces the capped group (VERDICT r1 #1)."""
+    from mtb_validation_service_ray.stages.dedup import overflow_report
+
+    k = 2000
+    t = pa.table(
+        {
+            "doc_id": list(range(k)),
+            "text": ["identical boilerplate text repeated across the corpus"] * k,
+        }
+    )
+    ds = rd.from_arrow(t)
+    cands = minhash_lsh_candidates(
+        ds, concurrency=1, max_bucket_pairs=500
+    ).materialize()
+    df = cands.to_pandas()
+    # star: every doc pairs with doc 0 exactly once, nothing else
+    assert len(df) == k - 1
+    assert (df.doc_a == 0).all()
+    assert set(df.doc_b) == set(range(1, k))
+    assert (df.sampled == 1).all()
+    assert (df.n_members == k).all()
+    rep = overflow_report(cands).to_pandas()
+    assert list(rep.n_members) == [k]
+    assert rep.n_pairs_emitted.iloc[0] == k - 1
+
+
+def test_minhash_under_cap_unsampled():
+    """Groups under the cap still emit full pairs, sampled=0."""
+    t = _docs_table()
+    cands = minhash_lsh_candidates(rd.from_arrow(t), concurrency=1).to_pandas()
+    assert (cands.sampled == 0).all()
+
+
+def test_simhash_hot_bucket_cap():
+    k = 800
+    t = pa.table(
+        {
+            "doc_id": list(range(k)),
+            "text": ["the same exact document body every single time"] * k,
+        }
+    )
+    pairs = simhash_candidates(
+        rd.from_arrow(t), concurrency=1, max_hamming=3, max_bucket_pairs=100
+    ).to_pandas()
+    assert len(pairs) == k - 1
+    assert (pairs.doc_a == 0).all()
+    assert (pairs.hamming == 0).all()
+    assert (pairs.sampled == 1).all()

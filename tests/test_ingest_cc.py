@@ -79,3 +79,36 @@ def test_connected_components_max_rounds_raises():
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_rounds=1)
+
+
+def test_connected_components_distributed_equivalence():
+    """The Dataset-pipeline fallback labels components identically to
+    the driver path on a multi-component fixture (VERDICT r1 #8)."""
+    rng = np.random.default_rng(5)
+    edges_a, edges_b = [], []
+    # 4 components: a chain, a star, a clique, an isolated pair
+    chain = np.arange(100, 110)
+    edges_a += chain[:-1].tolist(); edges_b += chain[1:].tolist()
+    star = np.arange(200, 208)
+    edges_a += [200] * 7; edges_b += star[1:].tolist()
+    clique = np.arange(300, 305)
+    for i in range(5):
+        for j in range(i + 1, 5):
+            edges_a.append(300 + i); edges_b.append(300 + j)
+    edges_a += [400]; edges_b += [401]
+    perm = rng.permutation(len(edges_a))
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(np.array(edges_a)[perm], pa.int64()),
+            "doc_b": pa.array(np.array(edges_b)[perm], pa.int64()),
+        }
+    )
+    drv = connected_components(pairs, strategy="driver").to_pandas()
+    dist = connected_components(pairs, strategy="distributed").to_pandas()
+    drv = drv.sort_values("id").reset_index(drop=True)
+    dist = dist.sort_values("id").reset_index(drop=True)
+    assert drv.equals(dist)
+    assert set(drv[drv.id.isin(chain)].cluster) == {100}
+    assert set(drv[drv.id.isin(star)].cluster) == {200}
+    assert set(drv[drv.id.isin(clique)].cluster) == {300}
+    assert set(drv[drv.id.isin([400, 401])].cluster) == {400}
