@@ -100,7 +100,7 @@ def ensure_bench_images(n: int, seed: int = SEED) -> str:
 
     from mtb_validation_service_ray.sources.fixtures import rows_for_indices
 
-    d = os.path.join("/tmp", f"mtbray_bench_images_v2_n{n}_s{seed}")
+    d = os.path.join("/tmp", f"mtbray_bench_images_v3_n{n}_s{seed}")
     marker = os.path.join(d, "_complete")
     if os.path.exists(marker):
         return d

@@ -988,7 +988,7 @@ def _image_fixture_dir(n: int = _IMAGE_FIXTURE_ROWS, seed: int = 42) -> str:
     /tmp (BASELINE.json input_hint shape; no external data)."""
     import pyarrow.parquet as pq
 
-    d = os.path.join(tempfile.gettempdir(), f"mtbray_images_v2_n{n}_s{seed}")
+    d = os.path.join(tempfile.gettempdir(), f"mtbray_images_v3_n{n}_s{seed}")
     marker = os.path.join(d, "_complete")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
@@ -1104,6 +1104,177 @@ def q_image_features(sf_dir: str):
         )
 
     return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+# --- oracle-checked image metadata validation ------------------------------
+# The corrupted fixture is written to a deterministic /tmp parquet so the
+# DuckDB oracle can read the SAME input the Ray pipeline validates —
+# this upgrades the flagship's metadata-rule subset from rows-only to a
+# full hash-checked correctness gate (VERDICT r1 #9).
+
+_CORRUPT_FIXTURE_ROWS = 1500
+
+
+@functools.lru_cache(maxsize=2)
+def _corrupt_fixture_path(n: int = _CORRUPT_FIXTURE_ROWS, seed: int = 42) -> str:
+    import pyarrow.parquet as pq
+
+    from ..sources.fixtures import corrupted_fixture
+
+    d = os.path.join(tempfile.gettempdir(), f"mtbray_corrupt_v3_n{n}_s{seed}")
+    path = os.path.join(d, "images.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        c = corrupted_fixture(n, seed=seed)
+        tmp = path + ".tmp"
+        pq.write_table(c.table, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def ensure_image_oracle_inputs() -> None:
+    """Idempotent: make sure the corrupted-fixture parquet the image
+    oracles read exists (called from ``oracle_sql()`` so the DuckDB side
+    never races the Ray side)."""
+    _corrupt_fixture_path()
+
+
+def _image_meta_violations(sf_dir: str) -> rd.Dataset:
+    from ..sources.fixtures import CAPTION_KEYS
+    from ..stages.row_pass import META_COLUMNS, run_row_pass
+
+    ds = rd.read_parquet(_corrupt_fixture_path(), columns=META_COLUMNS)
+    from ..rules.registry import default_image_ruleset
+
+    return run_row_pass(
+        ds, default_image_ruleset(),
+        {"caption_refs": frozenset(CAPTION_KEYS)}, concurrency=(1, 4),
+    )
+
+
+def q_image_validate_meta(sf_dir: str):
+    """Metadata-rule subset of the flagship validation (presence /
+    value-set / regex / range / conditional / referential / list rules
+    over the corrupted fixture), hash-checked against a DuckDB oracle
+    that replicates every kernel + its andThen gating in SQL."""
+    t = _as_table(_image_meta_violations(sf_dir))
+    return (
+        t.select(["record_id", "rule_id", "severity", "path"])
+        .sort_by([("record_id", "ascending"), ("rule_id", "ascending")])
+    )
+
+
+def q_image_issue_subtrees(sf_dir: str):
+    """Hierarchical-path roll-up: issues per 2-segment path subtree —
+    the consumer view the reference's Path tree enables (issues grouped
+    by `Tumor-Staging/...`-style prefix)."""
+    out = _image_meta_violations(sf_dir)
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("path"), r"^(?P<p>/[^/]+/[^/]+)")
+        subtree = pc.coalesce(pc.struct_field(m, "p"), batch.column("path"))
+        return pa.table(
+            {"subtree": subtree, "severity": batch.column("severity")}
+        )
+
+    agg = (
+        out.map_batches(prefix, batch_format="pyarrow")
+        .groupby(["subtree", "severity"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subtree": batch.column("subtree"),
+                "severity": batch.column("severity"),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def _image_meta_oracle_union() -> str:
+    """DuckDB replica of every metadata rule kernel incl. gating — one
+    SELECT per rule, UNION ALL'd.  Reads the same parquet the Ray side
+    validates (deterministic /tmp path)."""
+    from ..sources.fixtures import CAPTION_KEYS
+    from ..state.catalogs import caption_vocab, fmt_values
+
+    src = f"read_parquet('{_corrupt_fixture_path()}')"
+    fmts = ", ".join(f"'{v}'" for v in sorted(fmt_values()))
+    keys = ", ".join(f"'{k}'" for k in sorted(CAPTION_KEYS))
+    vocab = ", ".join(f"'{w}'" for w in sorted(caption_vocab()))
+    cappat = r"[\x20-\x7E\x{00A1}-\x{FFFF}]+"
+    cap_ok = (
+        "caption IS NOT NULL AND length(caption) > 0"
+    )
+    sel = []
+
+    def rule(rule_id, severity, path, cond, extra_from=""):
+        sel.append(
+            f"SELECT image_id AS record_id, '{rule_id}' AS rule_id, "
+            f"'{severity}' AS severity, '{path}' AS path "
+            f"FROM {src}{extra_from} WHERE {cond}"
+        )
+
+    rule("R-PR-ID", "error", "/record/image_id",
+         "image_id IS NULL OR length(image_id) = 0")
+    rule("R-PR-CAPTION", "warning", "/record/caption",
+         "caption IS NULL OR length(caption) = 0")
+    rule("R-PR-EITHER", "warning", "/record",
+         "caption IS NULL AND phash IS NULL")
+    rule("R-VS-FMT", "error", "/record/fmt",
+         f"fmt IS NOT NULL AND fmt NOT IN ({fmts})")
+    rule("R-RE-ID", "error", "/record/image_id/format",
+         "image_id IS NOT NULL AND length(image_id) > 0 "
+         "AND NOT regexp_full_match(image_id, 'img-[0-9a-f]{16}')")
+    rule("R-RE-CAPTION", "warning", "/record/caption/charset",
+         f"{cap_ok} AND NOT regexp_full_match(caption, '{cappat}')")
+    rule("R-RG-W", "error", "/record/dims/w",
+         "w IS NOT NULL AND (w < 1 OR w > 16384)")
+    rule("R-RG-H", "error", "/record/dims/h",
+         "h IS NOT NULL AND (h < 1 OR h > 16384)")
+    rule("R-RG-PHASH", "warning", "/record/phash", "phash = 0")
+    rule("R-RG-CAPLEN", "info", "/record/caption/length",
+         f"{cap_ok} AND length(caption) < 8")
+    rule("R-COND-FMT", "error", "/record/fmt/conditional",
+         "(fmt = 'png' AND phash IS NULL) OR "
+         "(fmt = 'lossy' AND (phash IS NULL OR caption IS NULL "
+         "OR length(caption) = 0))")
+    rule("R-REF-CAPKEY", "fatal", "/record/caption/key",
+         f"{cap_ok} AND lower(split_part(caption, ' ', 1)) NOT IN ({keys})")
+    # validateEach words rule with dynamic list-index paths + gating
+    sel.append(f"""
+        SELECT record_id, 'R-VSL-CAPWORDS' AS rule_id, 'warning' AS severity,
+               '/record/caption/words[' || CAST(u['i'] - 1 AS VARCHAR) || ']' AS path
+        FROM (
+          SELECT image_id AS record_id,
+                 unnest(list_transform(string_split(caption, ' '),
+                                       (w, i) -> {{'w': w, 'i': i}})) AS u
+          FROM {src}
+          WHERE {cap_ok}
+            AND regexp_full_match(caption, '{cappat}')
+            AND lower(split_part(caption, ' ', 1)) IN ({keys})
+        ) WHERE u['w'] NOT IN ({vocab})""")
+    return " UNION ALL ".join(sel)
+
+
+def _image_meta_oracle_sql() -> str:
+    return (
+        f"SELECT record_id, rule_id, severity, path FROM "
+        f"({_image_meta_oracle_union()}) ORDER BY record_id, rule_id"
+    )
+
+
+def _image_subtrees_oracle_sql() -> str:
+    return f"""
+        SELECT COALESCE(NULLIF(regexp_extract(path, '^/[^/]+/[^/]+'), ''), path)
+                 AS subtree,
+               severity, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ({_image_meta_oracle_union()})
+        GROUP BY 1, 2"""
 
 
 # ---------------------------------------------------------------------------
@@ -1326,9 +1497,16 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "tdigest_value_quantiles": q_tdigest_value_quantiles,
     "image_validate": q_image_validate,
+    "image_validate_meta": q_image_validate_meta,
+    "image_issue_subtrees": q_image_issue_subtrees,
     "image_verdict_summary": q_image_verdict_summary,
     "image_stats_profile": q_image_stats_profile,
     "image_features": q_image_features,
     "image_phash_dupgroups": q_image_phash_dupgroups,
     "image_embedding_dedup": q_image_embedding_dedup,
 }
+
+# appended (not in the literal) because the SQL embeds the deterministic
+# /tmp fixture path, ensured on build — see ensure_image_oracle_inputs()
+ORACLE_SQL["image_validate_meta"] = _image_meta_oracle_sql()
+ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()

@@ -42,12 +42,21 @@ import pyarrow.compute as pc
 from ..schema import PARTITION_COL, VIOLATION_SCHEMA, violations_table
 
 
+def path_join(*segments: str) -> str:
+    """Compose hierarchical issue-path segments — the engine's
+    `validate(x) at "seg"` / `errorsOr(x) on node` combinator
+    (MTBValidators.scala:224-227 produces `Tumor-Staging/TNM/T-Code`).
+    ``path_join("record", "caption", "charset") == "/record/caption/charset"``."""
+    parts = [s.strip("/") for s in segments if s and s.strip("/")]
+    return "/" + "/".join(parts)
+
+
 @dataclass(frozen=True)
 class Rule:
     rule_id: str
     kind: str  # kernel name, see KERNELS
     severity: str  # info|warning|error|fatal
-    path: str  # hierarchical issue path, e.g. "/fmt"
+    path: str  # hierarchical issue path, e.g. "/record/caption/charset"
     params: dict[str, Any] = field(default_factory=dict)
     requires: tuple[str, ...] = ()  # andThen gating: prerequisite rule ids
     message: str = ""
@@ -55,6 +64,12 @@ class Rule:
 
     def render_message(self) -> str:
         return self.message or f"{self.kind} check failed"
+
+    def at(self, *prefix: str) -> "Rule":
+        """Re-rooted copy — the `validate … at "seg"` path prefixing."""
+        import dataclasses
+
+        return dataclasses.replace(self, path=path_join(*prefix, self.path))
 
 
 @dataclass
@@ -92,6 +107,13 @@ class RuleSet:
     def by_kind(self, *kinds: str) -> list[Rule]:
         ks = set(kinds)
         return [r for r in self.rules if r.kind in ks]
+
+    def at(self, *prefix: str) -> "RuleSet":
+        """Hierarchical composition: every rule re-rooted under the
+        given path segments (the `validate(child) at "seg"` combinator,
+        MTBValidators.scala:224-227) — lets a sub-entity rule set be
+        embedded into a parent's path tree."""
+        return RuleSet([r.at(*prefix) for r in self.rules], name=self.name)
 
     def content_hash(self) -> str:
         """Stable hash of the rule definitions — recorded in checkpoint
@@ -249,6 +271,58 @@ def k_conditional_presence(batch: pa.Table, rule: Rule, ctx: RuleContext) -> np.
     return _as_numpy_bool(when) & missing
 
 
+def k_conditional_dispatch(batch: pa.Table, rule: Rule, ctx: RuleContext) -> np.ndarray:
+    """Full status-conditional dispatch: ``cases`` maps each value of
+    ``when_col`` to the columns that value requires present — the
+    reference's MTBTherapyValidator, where Ongoing/Completed/Stopped
+    each imply a different requirement set
+    (MTBValidators.scala:279-320).  Violated where the row's status has
+    a case and any of its required columns is missing."""
+    when = _col(batch, rule.params["when_col"])
+    out = np.zeros(len(batch), dtype=bool)
+    for case_value, required_cols in rule.params["cases"].items():
+        case_mask = _as_numpy_bool(pc.equal(when, case_value))
+        if not case_mask.any():
+            continue
+        missing_any = np.zeros(len(batch), dtype=bool)
+        for col in required_cols:
+            missing_any |= k_presence(
+                batch, Rule("_", "presence", "e", "/", {"col": col}), ctx
+            )
+        out |= case_mask & missing_any
+    return out
+
+
+def k_list_value_set(
+    batch: pa.Table, rule: Rule, ctx: RuleContext
+) -> tuple[np.ndarray, np.ndarray]:
+    """`validateEach(xs)` with list-index path segments: every element
+    of the (separator-split) list column must be in the value set; each
+    bad element yields its own violation at ``path/<label>[i]``
+    (the reference's each-germline-code-valid loop,
+    MTBValidators.scala:241, with Path list indices).
+
+    Returns (row_indices, element_indices) of violating elements — the
+    dynamic-path kernel contract (LIST_KERNELS)."""
+    col = _col(batch, rule.params["col"])
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    sep = rule.params.get("sep", " ")
+    valid_rows = _as_numpy_bool(pc.is_valid(col))
+    split = pc.split_pattern(pc.fill_null(col, ""), sep)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    flat = pc.list_flatten(split)
+    parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    bad = _as_numpy_bool(
+        pc.invert(pc.is_in(flat, value_set=ctx.value_array(rule)))
+    )
+    bad &= valid_rows[parent]
+    offsets = split.offsets.to_numpy(zero_copy_only=False)
+    elem_idx = np.arange(len(flat), dtype=np.int64) - offsets[parent]
+    return parent[bad], elem_idx[bad]
+
+
 def k_raw_len(batch: pa.Table, rule: Rule, ctx: RuleContext) -> np.ndarray:
     """Cross-field derived check: fmt=='raw' ⇒ len(bytes) == w*h*3
     (engine analog of derived-duration ≥ 0, MTBValidators.scala:245-247,
@@ -306,9 +380,16 @@ KERNELS: dict[str, Callable[[pa.Table, Rule, RuleContext], np.ndarray]] = {
     "equality": k_equality,
     "either_or": k_either_or,
     "conditional_presence": k_conditional_presence,
+    "conditional_dispatch": k_conditional_dispatch,
     "raw_len": k_raw_len,
     "ref_member": k_ref_member,
     "caption_len": k_caption_len,
+}
+
+# dynamic-path kernels: (batch, rule, ctx) -> (row_indices, element_indices);
+# each violating element emits its own issue at `path/<elem_label>[i]`
+LIST_KERNELS: dict[str, Callable[[pa.Table, "Rule", "RuleContext"], tuple]] = {
+    "list_value_set": k_list_value_set,
 }
 
 # kernels that need the bytes column / decoded pixels — these run in the
@@ -337,6 +418,8 @@ def rule_columns(rule: Rule) -> set[str]:
         if key in rule.params:
             cols.add(rule.params[key])
     cols.update(rule.params.get("cols", ()))
+    for required in rule.params.get("cases", {}).values():
+        cols.update(required)
     return cols
 
 
@@ -370,6 +453,32 @@ def evaluate_rules(
     fired: dict[str, np.ndarray] = {}
     out: list[pa.Table] = []
     for rule in ctx.ruleset.rules:
+        if rule.kind in LIST_KERNELS:
+            if not rule_columns(rule) <= available:
+                continue
+            rows, elems = LIST_KERNELS[rule.kind](batch, rule, ctx)
+            for prereq in rule.requires:
+                if prereq in fired and len(rows):
+                    keep = ~fired[prereq][rows]
+                    rows, elems = rows[keep], elems[keep]
+            mask = np.zeros(len(batch), dtype=bool)
+            if len(rows):
+                mask[rows] = True
+            fired[rule.rule_id] = mask
+            if emit is not None and not emit(rule):
+                continue
+            if len(rows):
+                label = rule.params.get("elem_label", "item")
+                paths = [f"{rule.path}/{label}[{int(e)}]" for e in elems]
+                out.append(
+                    violations_table(
+                        record_ids.take(pa.array(rows)),
+                        rule.rule_id, rule.severity, paths,
+                        rule.render_message(),
+                        partition_ids.take(pa.array(rows)),
+                    )
+                )
+            continue
         if rule.kind not in KERNELS or not rule_columns(rule) <= available:
             continue
         mask = KERNELS[rule.kind](batch, rule, ctx)

@@ -70,12 +70,16 @@ def empty_violations() -> pa.Table:
 
 
 def violations_table(
-    record_ids, rule_id: str, severity: str, path: str, messages, partition_ids=None
+    record_ids, rule_id: str, severity: str, path, messages, partition_ids=None
 ) -> pa.Table:
-    """Build a violations Table for one rule from parallel arrays."""
+    """Build a violations Table for one rule from parallel arrays.
+    ``path`` may be a single string or a per-violation list (dynamic
+    list-index segments, e.g. ``/record/caption/words[2]``)."""
     n = len(record_ids)
     if isinstance(messages, str):
         messages = [messages] * n
+    if isinstance(path, str):
+        path = [path] * n
     if partition_ids is None:
         partition_ids = pa.nulls(n, pa.int32())
     return pa.table(
@@ -83,7 +87,7 @@ def violations_table(
             "record_id": pa.array(record_ids, pa.string()),
             "rule_id": pa.array([rule_id] * n, pa.string()),
             "severity": pa.array([severity] * n, pa.string()),
-            "path": pa.array([path] * n, pa.string()),
+            "path": pa.array(path, pa.string()),
             "message": pa.array(messages, pa.string()),
             PARTITION_COL: pa.array(partition_ids, pa.int32())
             if not isinstance(partition_ids, pa.Array)

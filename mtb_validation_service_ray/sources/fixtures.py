@@ -22,18 +22,15 @@ from ..functions import codec
 from ..schema import IMAGE_SCHEMA_PARTITIONED, PARTITION_COL
 
 # caption vocabulary — the first word is the referential key
-# (caption_key = first word lowercased; caption_refs = this key list)
-CAPTION_KEYS = (
-    "red green blue golden silver small large bright dark fuzzy striped spotted "
-    "young old happy quiet loud swift lazy curious"
-).split()
-CAPTION_NOUNS = (
-    "cat dog bird fish horse tiger fox owl bear deer whale crane lizard rabbit"
-).split()
-CAPTION_VERBS = "sits runs sleeps jumps waits watches plays hides swims stands".split()
-CAPTION_PLACES = (
-    "meadow forest river harbor rooftop garden desert canyon market library"
-).split()
+# (caption_key = first word lowercased; caption_refs = this key list);
+# the full vocabulary lives in the catalog layer so the R-VSL-CAPWORDS
+# list rule validates against the same source of truth
+from ..state.catalogs import (  # noqa: F401  (re-exported for callers)
+    CAPTION_KEYS,
+    CAPTION_NOUNS,
+    CAPTION_PLACES,
+    CAPTION_VERBS,
+)
 
 FMT_WEIGHTS = {"png": 0.90, "raw": 0.06, "lossy": 0.04}  # skewed on purpose
 HOT_DIM = (64, 64)  # 70% of rows share one dimension mode (skew fixture)
@@ -196,29 +193,35 @@ class Invalidators:
     @classmethod
     def null_caption(cls, c: Corruption, row: int) -> None:
         c.table = _set_cell(c.table, row, "caption", None)
-        c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-PR-CAPTION",
-                             severity="warning", path="/caption"))
+        rid = cls._rid(c.table, row)
+        c.golden.append(dict(record_id=rid, rule_id="R-PR-CAPTION",
+                             severity="warning", path="/record/caption"))
+        # a lossy row additionally fails the fmt-conditional dispatch
+        # (lossy ⇒ caption AND phash required, R-COND-FMT)
+        if c.table.column("fmt")[row].as_py() == "lossy":
+            c.golden.append(dict(record_id=rid, rule_id="R-COND-FMT",
+                                 severity="error", path="/record/fmt/conditional"))
         c.touched_rows.add(row)
 
     @classmethod
     def empty_bytes(cls, c: Corruption, row: int) -> None:
         c.table = _set_cell(c.table, row, "bytes", b"")
         c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-PR-BYTES",
-                             severity="error", path="/bytes"))
+                             severity="error", path="/record/payload/bytes"))
         c.touched_rows.add(row)
 
     @classmethod
     def bad_fmt(cls, c: Corruption, row: int) -> None:
         c.table = _set_cell(c.table, row, "fmt", "webp?")
         c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-VS-FMT",
-                             severity="error", path="/fmt"))
+                             severity="error", path="/record/fmt"))
         c.touched_rows.add(row)
 
     @classmethod
     def bad_id_regex(cls, c: Corruption, row: int) -> None:
         c.table = _set_cell(c.table, row, "image_id", "IMG_1")
         c.golden.append(dict(record_id="IMG_1", rule_id="R-RE-ID",
-                             severity="error", path="/image_id"))
+                             severity="error", path="/record/image_id/format"))
         c.touched_rows.add(row)
 
     @classmethod
@@ -226,8 +229,8 @@ class Invalidators:
         c.table = _set_cell(c.table, row, "w", 0)
         c.table = _set_cell(c.table, row, "h", 99999)
         rid = cls._rid(c.table, row)
-        c.golden.append(dict(record_id=rid, rule_id="R-RG-W", severity="error", path="/w"))
-        c.golden.append(dict(record_id=rid, rule_id="R-RG-H", severity="error", path="/h"))
+        c.golden.append(dict(record_id=rid, rule_id="R-RG-W", severity="error", path="/record/dims/w"))
+        c.golden.append(dict(record_id=rid, rule_id="R-RG-H", severity="error", path="/record/dims/h"))
         c.touched_rows.add(row)
 
     @classmethod
@@ -240,7 +243,7 @@ class Invalidators:
         c.table = _set_cell(c.table, row, "bytes", codec.encode_raw(px)[:-7])
         c.table = _set_cell(c.table, row, "phash", codec.phash(px))
         c.golden.append(dict(record_id=rid, rule_id="R-XF-LEN",
-                             severity="error", path="/bytes"))
+                             severity="error", path="/record/payload/bytes/length"))
         c.touched_rows.add(row)
 
     @classmethod
@@ -252,7 +255,7 @@ class Invalidators:
         c.table = _set_cell(c.table, row, "bytes", codec.encode_raw(px))
         c.table = _set_cell(c.table, row, "phash", codec.phash(px))
         c.golden.append(dict(record_id=rid, rule_id="R-XF-MAGIC",
-                             severity="error", path="/fmt"))
+                             severity="error", path="/record/payload/magic"))
         c.touched_rows.add(row)
 
     @classmethod
@@ -267,21 +270,21 @@ class Invalidators:
         bad[: h // 2] = 255 - bad[: h // 2]  # invert half the image
         c.table = _set_cell(c.table, row, "bytes", codec.encode(bad, fmt))
         c.golden.append(dict(record_id=rid, rule_id="R-XF-PSNR",
-                             severity="error", path="/bytes"))
+                             severity="error", path="/record/payload/integrity"))
         c.touched_rows.add(row)
 
     @classmethod
     def dangling_caption_ref(cls, c: Corruption, row: int) -> None:
         c.table = _set_cell(c.table, row, "caption", "zzzunresolved thing in the void")
         c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-REF-CAPKEY",
-                             severity="fatal", path="/caption"))
+                             severity="fatal", path="/record/caption/key"))
         c.touched_rows.add(row)
 
     @classmethod
     def zero_phash(cls, c: Corruption, row: int) -> None:
         c.table = _set_cell(c.table, row, "phash", 0)
         c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-RG-PHASH",
-                             severity="warning", path="/phash"))
+                             severity="warning", path="/record/phash"))
         c.touched_rows.add(row)
 
     @classmethod
@@ -289,10 +292,10 @@ class Invalidators:
         c.table = _set_cell(c.table, row, "caption", "bad\x01caption\x02text")
         rid = cls._rid(c.table, row)
         c.golden.append(dict(record_id=rid, rule_id="R-RE-CAPTION",
-                             severity="warning", path="/caption"))
+                             severity="warning", path="/record/caption/charset"))
         # the corrupted caption's first word also fails key resolution
         c.golden.append(dict(record_id=rid, rule_id="R-REF-CAPKEY",
-                             severity="fatal", path="/caption"))
+                             severity="fatal", path="/record/caption/key"))
         c.touched_rows.add(row)
 
     @classmethod
@@ -301,7 +304,31 @@ class Invalidators:
         caption (Severity.Info analog, MTBValidators.scala:544-547)."""
         c.table = _set_cell(c.table, row, "caption", "red cat")
         c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-RG-CAPLEN",
-                             severity="info", path="/caption"))
+                             severity="info", path="/record/caption/length"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def cond_missing_phash(cls, c: Corruption, row: int) -> None:
+        """Status-conditional golden (MTBValidators.scala:279-320 analog):
+        a 'png'-status row missing its required phash trips R-COND-FMT.
+        Retargets to the first png row at/after ``row`` so the case is
+        deterministic regardless of the fmt draw."""
+        fmts = c.table.column("fmt").to_pylist()
+        while fmts[row] != "png" or row in c.touched_rows:
+            row += 1
+        c.table = _set_cell(c.table, row, "phash", None)
+        c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-COND-FMT",
+                             severity="error", path="/record/fmt/conditional"))
+        c.touched_rows.add(row)
+
+    @classmethod
+    def bad_caption_word(cls, c: Corruption, row: int) -> None:
+        """validateEach golden: one out-of-vocabulary caption word ⇒ one
+        issue at the dynamic list-index path /record/caption/words[2]."""
+        c.table = _set_cell(c.table, row, "caption", "red cat dances in the meadow")
+        c.golden.append(dict(record_id=cls._rid(c.table, row),
+                             rule_id="R-VSL-CAPWORDS",
+                             severity="warning", path="/record/caption/words[2]"))
         c.touched_rows.add(row)
 
     @classmethod
@@ -312,7 +339,7 @@ class Invalidators:
         dup = c.table.slice(row, 1)
         c.table = pa.concat_tables([c.table, dup])
         c.golden.append(dict(record_id=rid, rule_id="R-UQ-ID",
-                             severity="error", path="/image_id"))
+                             severity="error", path="/record/image_id"))
         c.touched_rows.add(row)
         c.touched_rows.add(c.table.num_rows - 1)
 
@@ -332,6 +359,8 @@ DEFAULT_MUTATIONS: list[tuple[str, int]] = [
     ("implausible_caption", 101),
     ("duplicate_id", 113),
     ("short_caption", 127),
+    ("cond_missing_phash", 131),
+    ("bad_caption_word", 139),
 ]
 
 

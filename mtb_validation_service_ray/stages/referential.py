@@ -40,7 +40,7 @@ ORPHAN_RULE = Rule(
     "R-REF-ORPHAN",
     "anti_join",
     "warning",
-    "/",
+    "/record",
     message="no companion annotation row for this image_id",
     description="anti-join orphan warning (claimValidator, MTBValidators.scala:621-623)",
 )

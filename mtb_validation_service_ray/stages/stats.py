@@ -312,7 +312,7 @@ def drift_violations(
                         [f"partition={pid}"],
                         f"R-DRIFT-{col.upper()}",
                         severity,
-                        f"/{col}",
+                        f"/partition/{col}",
                         f"distribution drift: PSI={score_psi:.4f} KS={score_ks:.4f}",
                         pa.array([pid], pa.int32()),
                     )

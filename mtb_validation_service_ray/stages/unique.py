@@ -30,7 +30,7 @@ from ..schema import PARTITION_COL, VIOLATION_SCHEMA, violations_table
 
 RULE_ID = "R-UQ-ID"
 SEVERITY = "error"
-PATH = "/image_id"
+PATH = "/record/image_id"
 
 
 def _batch_counts(batch: pa.Table, id_col: str) -> pa.Table:

@@ -35,3 +35,32 @@ def catalog_values(catalog: dict[str, frozenset[str]], version: str | None, curr
 
 def fmt_values(version: str | None = None) -> frozenset[str]:
     return catalog_values(FMT_CATALOG, version, FMT_CURRENT_VERSION)
+
+
+# caption vocabulary (third catalog — the HGNC-gene-set analog used by
+# the validateEach list rule R-VSL-CAPWORDS; the fixture generator
+# composes captions from exactly these words)
+CAPTION_KEYS = (
+    "red green blue golden silver small large bright dark fuzzy striped spotted "
+    "young old happy quiet loud swift lazy curious"
+).split()
+CAPTION_NOUNS = (
+    "cat dog bird fish horse tiger fox owl bear deer whale crane lizard rabbit"
+).split()
+CAPTION_VERBS = "sits runs sleeps jumps waits watches plays hides swims stands".split()
+CAPTION_PLACES = (
+    "meadow forest river harbor rooftop garden desert canyon market library"
+).split()
+
+CAPTION_VOCAB_CATALOG: dict[str, frozenset[str]] = {
+    "1.0": frozenset(
+        CAPTION_KEYS + CAPTION_NOUNS + CAPTION_VERBS + CAPTION_PLACES + ["in", "the"]
+    ),
+}
+CAPTION_VOCAB_CURRENT_VERSION = "1.0"
+
+
+def caption_vocab(version: str | None = None) -> frozenset[str]:
+    return catalog_values(
+        CAPTION_VOCAB_CATALOG, version, CAPTION_VOCAB_CURRENT_VERSION
+    )

@@ -31,7 +31,7 @@ def test_fused_matches_golden_and_modular():
     assert f_df.equals(m_df), f"\nfused:\n{f_df}\nmodular:\n{m_df}"
 
     golden = golden_table(c).to_pandas()
-    golden.loc[len(golden)] = [dropped, "R-REF-ORPHAN", "warning", "/"]
+    golden.loc[len(golden)] = [dropped, "R-REF-ORPHAN", "warning", "/record"]
     golden = golden.sort_values(["record_id", "rule_id"]).reset_index(drop=True)
     assert pa.Table.from_pandas(f_df).equals(pa.Table.from_pandas(golden))
 

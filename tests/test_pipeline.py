@@ -53,7 +53,7 @@ def test_golden_row_for_row(corrupted):
         .reset_index(drop=True)
     )
     golden = golden_table(c).to_pandas()
-    golden.loc[len(golden)] = [dropped, "R-REF-ORPHAN", "warning", "/"]
+    golden.loc[len(golden)] = [dropped, "R-REF-ORPHAN", "warning", "/record"]
     golden = golden.sort_values(["record_id", "rule_id"]).reset_index(drop=True)
     pa_got = pa.Table.from_pandas(got)
     pa_exp = pa.Table.from_pandas(golden)

@@ -176,3 +176,97 @@ def test_id_pattern_conformance_bad(bad):
     import re
 
     assert not re.fullmatch(IMAGE_ID_PATTERN, bad)
+
+
+def test_conditional_dispatch_cases():
+    """Status-conditional dispatch (MTBValidators.scala:279-320 analog):
+    each when-value implies its own requirement set."""
+    batch = pa.table(
+        {
+            "record_id": ["a", "b", "c", "d", "e"],
+            "fmt": ["png", "png", "lossy", "lossy", "raw"],
+            "phash": pa.array([1, None, 5, None, None], pa.int64()),
+            "caption": ["x long enough", None, None, "ok caption", None],
+        }
+    )
+    ctx = _ctx([
+        Rule("COND", "conditional_dispatch", "error", "/fmt/conditional",
+             {"when_col": "fmt",
+              "cases": {"png": ["phash"], "lossy": ["caption", "phash"]}}),
+    ])
+    v = _violations(batch, ctx)
+    # b: png missing phash; c: lossy missing caption; d: lossy missing
+    # phash; e: raw has no case → never fires
+    assert v.column("record_id").to_pylist() == ["b", "c", "d"]
+
+
+def test_conditional_dispatch_gated_by_value_set():
+    batch = pa.table(
+        {
+            "record_id": ["a", "b"],
+            "fmt": ["nonsense", "png"],
+            "phash": pa.array([None, None], pa.int64()),
+        }
+    )
+    ctx = _ctx([
+        Rule("VS", "value_set", "error", "/fmt", {"col": "fmt", "values": {"png"}}),
+        Rule("COND", "conditional_dispatch", "error", "/fmt/conditional",
+             {"when_col": "fmt", "cases": {"png": ["phash"], "nonsense": ["phash"]}},
+             requires=("VS",)),
+    ])
+    v = _violations(batch, ctx)
+    got = list(zip(v.column("record_id").to_pylist(), v.column("rule_id").to_pylist()))
+    # a fails the value set → conditional suppressed (andThen); b fires
+    assert got == [("a", "VS"), ("b", "COND")]
+
+
+def test_list_value_set_dynamic_index_paths():
+    """validateEach: per-element issues with list-index path segments."""
+    batch = pa.table(
+        {
+            "record_id": ["a", "b", "c"],
+            "caption": ["red cat sits", "red dances cat wobbles", None],
+        }
+    )
+    ctx = _ctx([
+        Rule("VSL", "list_value_set", "warning", "/caption",
+             {"col": "caption", "values": {"red", "cat", "sits"},
+              "elem_label": "words"}),
+    ])
+    v = _violations(batch, ctx)
+    assert v.column("record_id").to_pylist() == ["b", "b"]
+    assert v.column("path").to_pylist() == ["/caption/words[1]", "/caption/words[3]"]
+
+
+def test_list_value_set_gating():
+    """An element rule is suppressed on rows where its prerequisite
+    already fired (andThen semantics for validateEach)."""
+    batch = pa.table(
+        {
+            "record_id": ["a", "b"],
+            "caption": ["bad\x01words here", "red zz"],
+        }
+    )
+    ctx = _ctx([
+        Rule("RE", "regex", "warning", "/caption/charset",
+             {"col": "caption", "pattern": "[\\x20-\\x7E]+"}),
+        Rule("VSL", "list_value_set", "warning", "/caption",
+             {"col": "caption", "values": {"red"}, "elem_label": "words"},
+             requires=("RE",)),
+    ])
+    v = _violations(batch, ctx)
+    got = list(zip(v.column("record_id").to_pylist(), v.column("rule_id").to_pylist(),
+                   v.column("path").to_pylist()))
+    assert got == [("a", "RE", "/caption/charset"), ("b", "VSL", "/caption/words[1]")]
+
+
+def test_path_composition_at():
+    """`validate … at "seg"` hierarchical re-rooting on Rule and RuleSet."""
+    r = Rule("X", "presence", "error", "/caption/charset", {"col": "caption"})
+    assert r.at("record").path == "/record/caption/charset"
+    assert r.at("a", "b").path == "/a/b/caption/charset"
+    rs = RuleSet([r], name="t").at("record")
+    assert rs.rules[0].path == "/record/caption/charset"
+    # default registry is fully hierarchical: every path has >= 2 segments
+    for rule in default_image_ruleset().rules:
+        assert rule.path.startswith("/record")
