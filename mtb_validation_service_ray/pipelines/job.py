@@ -155,8 +155,13 @@ def run_job(
         )
 
     # ---- phase 2: global passes (ids/metadata projection only) ----
+    from ..stages.positional import TAIL_COLUMNS, tail_either_violations
+
     id_ds = io_shim.read_table(fragments, columns=["image_id", PARTITION_COL])
-    global_passes = [duplicate_id_violations(id_ds)]
+    global_passes = [
+        duplicate_id_violations(id_ds),
+        tail_either_violations(io_shim.read_table(fragments, columns=TAIL_COLUMNS)),
+    ]
     if annotations is not None:
         ann = (
             rd.from_arrow(annotations)

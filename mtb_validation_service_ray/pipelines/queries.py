@@ -1121,7 +1121,7 @@ def _corrupt_fixture_path(n: int = _CORRUPT_FIXTURE_ROWS, seed: int = 42) -> str
 
     from ..sources.fixtures import corrupted_fixture
 
-    d = os.path.join(tempfile.gettempdir(), f"mtbray_corrupt_v3_n{n}_s{seed}")
+    d = os.path.join(tempfile.gettempdir(), f"mtbray_corrupt_v4_n{n}_s{seed}")
     path = os.path.join(d, "images.parquet")
     if not os.path.exists(path):
         os.makedirs(d, exist_ok=True)

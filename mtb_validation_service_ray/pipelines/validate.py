@@ -68,6 +68,7 @@ def run_validation(
     annotations: rd.Dataset | pa.Table | Iterable[str] | None = None,
     include_unique: bool = True,
     include_decode: bool = True,
+    include_positional: bool = True,
     orphan_strategy: str = "broadcast",
     row_batch_size: int = 8192,
     decode_batch_size: int = 256,
@@ -124,6 +125,10 @@ def run_validation(
     if include_unique:
         id_ds = _source(source, ["image_id", PARTITION_COL])
         passes.append(duplicate_id_violations(id_ds))
+    if include_positional:
+        from ..stages.positional import TAIL_COLUMNS, tail_either_violations
+
+        passes.append(tail_either_violations(_source(source, TAIL_COLUMNS)))
     if annotations is not None:
         ann = (
             rd.from_arrow(annotations)
@@ -154,6 +159,7 @@ def run_validation_fused(
     caption_refs: Iterable[str] | pa.Array | None = None,
     annotations: rd.Dataset | pa.Table | Iterable[str] | None = None,
     include_unique: bool = True,
+    include_positional: bool = True,
     batch_size: int = 512,
     concurrency: int | tuple[int, int] | None = None,
 ) -> ValidationResult:
@@ -223,6 +229,15 @@ def run_validation_fused(
 
     id_rows = combined.map_batches(_only_ids, batch_format="pyarrow")
     row_violations = combined.map_batches(_only_violations, batch_format="pyarrow")
+    if include_positional:
+        # sorted-tail rule needs (caption, phash) nullity, which the
+        # fused id-marker stream doesn't carry — one extra pruned read of
+        # three narrow columns (never `bytes`)
+        from ..stages.positional import TAIL_COLUMNS, tail_either_violations
+
+        row_violations = row_violations.union(
+            tail_either_violations(_source(source, TAIL_COLUMNS))
+        )
     if include_unique:
         from .verdicts import verdicts_with_unique
 

@@ -332,6 +332,38 @@ class Invalidators:
         c.touched_rows.add(row)
 
     @classmethod
+    def tail_missing_both(cls, c: Corruption, row: int) -> None:
+        """Sorted-tail positional golden (MTBValidators.scala:710-717
+        analog): a NON-head row of its partition with neither caption nor
+        phash trips R-TAIL-EITHER (plus the order-independent presence
+        rules).  Retargets to the first 'raw' row at/after ``row`` that
+        is not its partition's head (raw has no R-COND-FMT case, so the
+        conditional rule stays quiet)."""
+        fmts = c.table.column("fmt").to_pylist()
+        pids = c.table.column(PARTITION_COL).to_pylist()
+        ids = c.table.column("image_id").to_pylist()
+        heads: dict[int, str] = {}
+        for pid, rid_ in zip(pids, ids):
+            if pid not in heads or rid_ < heads[pid]:
+                heads[pid] = rid_
+        while (
+            fmts[row] != "raw"
+            or ids[row] == heads[pids[row]]
+            or row in c.touched_rows
+        ):
+            row += 1
+        c.table = _set_cell(c.table, row, "caption", None)
+        c.table = _set_cell(c.table, row, "phash", None)
+        rid = cls._rid(c.table, row)
+        c.golden.append(dict(record_id=rid, rule_id="R-PR-CAPTION",
+                             severity="warning", path="/record/caption"))
+        c.golden.append(dict(record_id=rid, rule_id="R-PR-EITHER",
+                             severity="warning", path="/record"))
+        c.golden.append(dict(record_id=rid, rule_id="R-TAIL-EITHER",
+                             severity="error", path="/record/tail"))
+        c.touched_rows.add(row)
+
+    @classmethod
     def duplicate_id(cls, c: Corruption, row: int) -> None:
         """Append a copy of the row (same image_id) — exactly-one
         violation, both occurrences flagged (MTBValidators.scala:696-698)."""
@@ -361,6 +393,7 @@ DEFAULT_MUTATIONS: list[tuple[str, int]] = [
     ("short_caption", 127),
     ("cond_missing_phash", 131),
     ("bad_caption_word", 139),
+    ("tail_missing_both", 149),
 ]
 
 

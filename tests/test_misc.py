@@ -71,3 +71,28 @@ def test_violations_table_builder_shapes():
         pa.array(["a"]), "R", "error", "/x", ["m1"], pa.array([3], pa.int64())
     )
     assert t2.column("partition_id").to_pylist() == [3]
+
+
+def test_tail_either_head_exempt():
+    """Sorted-tail positional rule (MTBValidators.scala:710-717 analog):
+    the partition head (min image_id) may lack caption+phash; any tail
+    row may not."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mtb_validation_service_ray.stages.positional import tail_either_violations
+
+    t = pa.table(
+        {
+            "image_id": ["a1", "a2", "a3", "b1", "b2"],
+            "caption": [None, None, "has caption", None, "x"],
+            "phash": pa.array([None, None, None, None, 7], pa.int64()),
+            "partition_id": pa.array([0, 0, 0, 1, 1], pa.int32()),
+        }
+    )
+    out = tail_either_violations(rd.from_arrow(t)).to_pandas()
+    # a1 is partition 0's head → exempt despite missing both; a2 fires;
+    # b1 is partition 1's head → exempt; a3/b2 have a value → fine
+    assert list(out.record_id) == ["a2"]
+    assert list(out.rule_id) == ["R-TAIL-EITHER"]
+    assert list(out.path) == ["/record/tail"]

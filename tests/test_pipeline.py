@@ -110,7 +110,7 @@ def test_pyarrow_oracle_matches_ray(corrupted):
         .reset_index(drop=True)
     )
     ray_rowlocal = (
-        viol_df[~viol_df.rule_id.isin(["R-UQ-ID", "R-REF-ORPHAN"])][
+        viol_df[~viol_df.rule_id.isin(["R-UQ-ID", "R-REF-ORPHAN", "R-TAIL-EITHER"])][
             ["record_id", "rule_id", "severity", "path"]
         ]
         .sort_values(["record_id", "rule_id"])
