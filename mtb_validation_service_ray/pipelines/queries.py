@@ -457,41 +457,74 @@ def q_distinct_users_exact(sf_dir: str):
 
 
 def q_join_revenue_by_region(sf_dir: str):
-    """Multi-way broadcast join chain (region ← nation ← customer ←
-    orders ← lineitem): the small dimensions ship once via ``ray.put``
-    and the fact table joins against them inside ``map_batches`` — the
-    scale pattern for star joins (no shuffle of lineitem)."""
-    import pandas as pd
+    """Star join done scale-safe (VERDICT r1 #5): only TRUE dimensions
+    broadcast (nation⋈region, 25 rows); the fact-sized legs run as
+    native hash-partitioned joins — customer→region is mapped
+    distributively, orders⋈customer and lineitem⋈orders are
+    ``Dataset.join``s, and lineitem pre-aggregates per batch before its
+    join so the shuffled side is (orderkey, partial-revenue), never raw
+    line items.  Nothing orders-sized ever lands on the driver."""
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     region = _as_table(_read(sf_dir, "region")).to_pandas()
     nation = _as_table(_read(sf_dir, "nation")).to_pandas()
-    customer = _as_table(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])).to_pandas()
-    orders = _as_table(_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])).to_pandas()
-    # orderkey → region name lookup, built once driver-side, broadcast
-    cust_region = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    cust_region = cust_region.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    order_region = orders.merge(cust_region, left_on="o_custkey", right_on="c_custkey")
-    lookup = dict(zip(order_region.o_orderkey, order_region.r_name))
-    lookup_ref = ray.put(lookup)
+    nation_region = dict(
+        zip(
+            nation.n_nationkey,
+            nation.merge(
+                region, left_on="n_regionkey", right_on="r_regionkey"
+            ).r_name,
+        )
+    )
+    nr_ref = ray.put(nation_region)
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    def add_region(batch: pa.Table) -> pa.Table:
+        import pandas as pd
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        regions = pd.Series(keys).map(lk).to_numpy(dtype=object)
+        nr = ray.get(nr_ref)
+        keys = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "r_name": pa.array(
+                    pd.Series(keys).map(nr).to_numpy(dtype=object), pa.string()
+                ),
+            }
+        )
+
+    cust_region = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        add_region, batch_format="pyarrow", zero_copy_batch=True
+    )
+    order_region = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).join(
+        cust_region, join_type="inner", num_partitions=n_parts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "r_name"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
         revenue = (
             batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
             * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
         )
-        t = pa.table({"r_name": pa.array(regions, pa.string()),
-                      "rev": pa.array(revenue, pa.float64())})
-        g = t.group_by(["r_name"]).aggregate([("rev", "sum")])
-        return pa.table({"r_name": g.column("r_name"), "rev": g.column("rev_sum")})
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"),
+             "rev": pa.array(revenue, pa.float64())}
+        )
+        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {"l_orderkey": g.column("l_orderkey"), "rev": g.column("rev_sum")}
+        )
 
-    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
-        "r_name"
-    ).aggregate(Sum("rev", alias_name="t_rev"))
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = li.join(
+        order_region, join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    agg = joined.select_columns(["r_name", "rev"]).groupby("r_name").aggregate(
+        Sum("rev", alias_name="t_rev")
+    )
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -852,12 +885,9 @@ def q_text_quality_score(sf_dir: str):
 def q_dedup_embedding_cosine(sf_dir: str):
     """Embedding near-dup pairs at cosine ≥ 0.9 (broadcast strategy)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = cosine_near_dups(ds, threshold=0.9, id_col="vec_id")
-    return pa.table(
-        {
-            "id_a": pairs.column("id_a").cast(pa.int64()),
-            "id_b": pairs.column("id_b").cast(pa.int64()),
-        }
+    return _with_schema(
+        cosine_near_dups(ds, threshold=0.9, id_col="vec_id"),
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
     )
 
 

@@ -116,19 +116,27 @@ def cosine_near_dups(
     threshold: float = 0.95,
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     lsh_bits: int = 16,
     lsh_chunks: int = 4,
     seed: int = 13,
     batch_size: int = 4096,
-) -> pa.Table | rd.Dataset:
+    broadcast_max_rows: int = 1_000_000,
+) -> rd.Dataset:
     """All pairs (a < b) with cosine similarity ≥ threshold.
 
     strategy="broadcast": exact — ship the full normalized matrix via
     ``ray.put`` (fine to ~10^6 vectors), one matmul per batch.
     strategy="lsh": approximate candidate generation via random-
     hyperplane signatures bucketed by signature chunk (any pair with few
-    differing bits shares a chunk), exact verification inside buckets."""
+    differing bits shares a chunk), exact verification inside buckets.
+    strategy="auto" (default): count-gated switch — broadcast while the
+    vector count fits ``broadcast_max_rows``, LSH beyond it (the same
+    adaptive pattern as verdicts' driver-vs-distributed reduce).
+
+    Always returns a (lazy) Dataset of ``(id_a, id_b, cosine)``."""
+    if strategy == "auto":
+        strategy = "broadcast" if ds.count() <= broadcast_max_rows else "lsh"
     if strategy == "broadcast":
         rows = []
         ids_all = []
@@ -150,25 +158,21 @@ def cosine_near_dups(
             sims = m @ full.T
             bi, fj = np.nonzero(sims >= threshold)
             keep = ids[bi] < full_ids[fj]  # a < b, also drops self-pairs
+            id_type = batch.column(id_col).type
             return pa.table(
                 {
-                    "id_a": pa.array(ids[bi][keep]),
-                    "id_b": pa.array(full_ids[fj][keep]),
+                    "id_a": pa.array(ids[bi][keep].tolist(), id_type),
+                    "id_b": pa.array(full_ids[fj][keep].tolist(), id_type),
                     "cosine": pa.array(np.round(sims[bi, fj][keep], 6), pa.float64()),
                 }
             )
 
-        pairs = ds.map_batches(
+        # stays a Dataset — the pair stream never concatenates on the
+        # driver (callers sort/collect only what they need)
+        return ds.map_batches(
             batch_pairs, batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True,
         )
-        table = pa.concat_tables(
-            list(pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
-            or [pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})]
-        )
-        return table.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
     if strategy != "lsh":
         raise ValueError(f"unknown strategy {strategy!r}")

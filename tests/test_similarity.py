@@ -50,9 +50,32 @@ def test_knn_brute_matches_numpy_oracle():
 
 def test_cosine_near_dups_broadcast():
     t, _ = _embedding_table()
-    pairs = cosine_near_dups(rd.from_arrow(t), threshold=0.99)
-    got = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    pairs = cosine_near_dups(rd.from_arrow(t), threshold=0.99).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
     assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} == got
+
+
+def test_cosine_near_dups_auto_switch_and_equivalence():
+    """auto picks broadcast under the row budget and LSH above it; the
+    LSH pair set is a subset of the exact broadcast pairs (every LSH
+    candidate is exact-verified) and recalls the planted dups."""
+    t, _ = _embedding_table()
+    ds = rd.from_arrow(t)
+    exact = cosine_near_dups(ds, threshold=0.99, strategy="broadcast").to_pandas()
+    # force the LSH arm through the auto gate with a tiny budget
+    approx = cosine_near_dups(
+        ds, threshold=0.99, strategy="auto", broadcast_max_rows=10
+    ).to_pandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    approx_pairs = set(zip(approx.id_a, approx.id_b))
+    assert approx_pairs <= exact_pairs
+    assert {(0, 1), (0, 2), (0, 3)} <= approx_pairs
+    # cosine values agree on the common pairs
+    e = exact.set_index(["id_a", "id_b"]).cosine
+    a = approx.set_index(["id_a", "id_b"]).cosine
+    common = a.index.intersection(e.index)
+    # paths differ only by float accumulation order (≲1e-7)
+    assert (abs(a.loc[common] - e.loc[common]) < 1e-6).all()
 
 
 def test_cosine_near_dups_lsh_recalls_planted():
