@@ -198,7 +198,12 @@ def q_check_xfield_nchars(sf_dir: str):
 def q_check_unique_orderkey(sf_dir: str):
     """Uniqueness scan (R-UQ family; exactly-one cardinality,
     MTBValidators.scala:696-698): orderkeys occurring more than once in
-    lineitem, via partial counts + one hash groupby."""
+    lineitem — partial counts per batch, then the custom bucket-actor
+    hash reduce (stages/hashreduce.py) instead of Ray's sort-based
+    Aggregate, whose per-output-partition floor dominated this query
+    (8.8 s → the reduce is one mailbox exchange + vectorized folds)."""
+    from ..stages.hashreduce import hash_reduce
+
     ds = _read(sf_dir, "lineitem", ["l_orderkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -210,17 +215,18 @@ def q_check_unique_orderkey(sf_dir: str):
             }
         )
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "l_orderkey"
-    ).aggregate(Sum("cnt", alias_name="n"))
+    agg = hash_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "l_orderkey", [("cnt", "sum")],
+    )
 
     def dups(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
-                "n": batch.column("n").cast(pa.int64()),
+                "n": batch.column("cnt").cast(pa.int64()),
             }
-        ).filter(pc.greater(batch.column("n"), 1))
+        ).filter(pc.greater(batch.column("cnt"), 1))
 
     return _with_schema(
         agg.map_batches(dups, batch_format="pyarrow"),

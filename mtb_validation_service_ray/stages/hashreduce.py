@@ -1,0 +1,136 @@
+"""Bucket-actor hash reduce — a custom aggregation exchange that
+sidesteps Ray Data's sort-based Aggregate floor.
+
+Ray's generic ``groupby(key).aggregate(...)`` is a sort-based exchange
+costing ~0.3 s per output partition on this hardware regardless of row
+count (BASELINE.md "Performance decisions") — for a pre-aggregated
+triple stream that floor dominates.  This stage is the classic hash
+aggregation instead: N reducer ACTORS each own ``hash(key) % N`` of the
+key space; map tasks split each (already partially-aggregated) batch by
+bucket and append the slices to their reducers; reducers fold with a
+vectorized Arrow ``group_by`` (compacting incrementally so memory stays
+bounded by live distinct keys, not received batches).  One-sided
+mailbox shuffle, no sort, no per-key Python.
+
+This is the deliberate raw-``@ray.remote`` escape hatch the brief
+allows for "a shared mutable index" — everything around it stays
+Dataset-shaped: the result comes back as ``ray.data.from_arrow_refs``
+over the reducers' outputs, so downstream stages keep streaming.
+
+Aggregation functions must be re-entrant under re-aggregation
+(sum-of-sums, min-of-mins, max-of-maxes): pre-convert counts to
+partial sums upstream (the uniqueness pass's `_batch_counts` does).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.sketches import hash64
+
+_COMPACT_EVERY = 64  # received slices per incremental fold
+
+
+# fractional CPU: reducers are mailbox actors (append + occasional
+# fold); a full core each would starve the routing map tasks on small
+# clusters — pools summing to every CPU deadlock the pipeline
+# (BASELINE.md "Performance decisions")
+@ray.remote(num_cpus=0.5)
+class _ReduceActor:
+    def __init__(self, key_cols: list[str], aggs: list[tuple[str, str]]):
+        self.key_cols = key_cols
+        self.aggs = aggs
+        self.parts: list[pa.Table] = []
+        self.received = 0
+
+    def _fold(self) -> None:
+        if not self.parts:
+            return
+        # always aggregate — even a single slice may repeat keys
+        t = pa.concat_tables(self.parts, promote_options="default")
+        g = t.group_by(self.key_cols).aggregate(
+            [(col, fn) for col, fn in self.aggs]
+        )
+        cols = {k: g.column(k) for k in self.key_cols}
+        # rename f"{col}_{fn}" back to col so folding is idempotent
+        for col, fn in self.aggs:
+            cols[col] = g.column(f"{col}_{fn}")
+        self.parts = [pa.table(cols)]
+
+    def add(self, table: pa.Table) -> int:
+        if table.num_rows:
+            self.parts.append(table)
+            self.received += 1
+            if len(self.parts) >= _COMPACT_EVERY:
+                self._fold()
+        return self.received
+
+    def has_data(self) -> bool:
+        return bool(self.parts)
+
+    def finalize(self) -> pa.Table:
+        self._fold()
+        return self.parts[0]
+
+
+def hash_reduce(
+    ds: rd.Dataset,
+    key_cols: list[str] | str,
+    aggs: list[tuple[str, str]],
+    *,
+    num_actors: int | None = None,
+) -> rd.Dataset:
+    """Aggregate ``ds`` (already partially aggregated per batch) by
+    ``key_cols`` with re-entrant Arrow aggregate functions
+    (``[("cnt", "sum"), ("pid", "min"), ...]``) through a bucket-actor
+    hash exchange.  Returns a Dataset with one block per reducer."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if num_actors is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_actors = max(2, min(cpus // 2, 16))
+    actors = [
+        _ReduceActor.remote(key_cols, list(aggs)) for _ in range(num_actors)
+    ]
+
+    def route(batch: pa.Table, *, actors=actors, n=num_actors) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"_routed": pa.array([], pa.int64())})
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for c in key_cols:
+            h = h * np.uint64(1099511628211) ^ hash64(
+                batch.column(c).to_numpy(zero_copy_only=False)
+            ).astype(np.uint64)
+        bucket = (h % np.uint64(n)).astype(np.int64)
+        pending = []
+        for b in np.unique(bucket):
+            pending.append(
+                actors[int(b)].add.remote(batch.filter(pa.array(bucket == b)))
+            )
+        # block until the reducers own the slices — when the routing
+        # dataset is fully consumed, every add has landed
+        ray.get(pending)
+        return pa.table({"_routed": pa.array([len(pending)], pa.int64())})
+
+    # drive the routing to completion (the stream's only consumer)
+    for _ in ds.map_batches(route, batch_format="pyarrow").iter_batches(
+        batch_size=1 << 16
+    ):
+        pass
+    flags = ray.get([a.has_data.remote() for a in actors])
+    refs = [a.finalize.remote() for a, f in zip(actors, flags) if f]
+    if refs:
+        # block references stay in the object store (task returns are
+        # owned by the driver, so killing the reducers is safe); the
+        # reduced result never funnels through driver memory
+        out = rd.from_arrow_refs(refs)
+        ray.wait(refs, num_returns=len(refs))  # materialized before kill
+    else:
+        out = rd.from_arrow(
+            pa.table({c: pa.array([], pa.string()) for c in key_cols})
+        )
+    for a in actors:
+        ray.kill(a)
+    return out

@@ -76,27 +76,59 @@ def _shuffle_partitions() -> int:
     return max(8, int(ray.cluster_resources().get("CPU", 8)))
 
 
-def duplicate_id_violations(ds: rd.Dataset, *, id_col: str = "image_id") -> rd.Dataset:
+def duplicate_id_violations(
+    ds: rd.Dataset, *, id_col: str = "image_id", strategy: str = "groupby"
+) -> rd.Dataset:
     """Violations for every identifier that occurs more than once.
 
-    The exchange is a coarse **bucketed groupby**: ``hash(id) % B``
-    buckets (B ≈ #CPUs) co-locate each id, and the per-bucket body is a
-    vectorized pandas aggregation — cheaper than a generic per-key
-    aggregate (measured: Ray's sort-based Aggregate costs ~0.3 s per
-    output partition regardless of size) and still one shuffle of the
-    pre-aggregated triples."""
+    strategy="groupby" (default, lazy): pre-aggregated triples through
+    one Ray hash groupby — composes into lazy validation pipelines.
+    strategy="hash_actors" (eager): the custom bucket-actor hash reduce
+    (stages/hashreduce.py) — ~3x faster on this hardware (no sort-based
+    Aggregate floor), but consumes the input at call time, so use it for
+    standalone scans, not inside lazily-composed pipelines."""
     triples = ds.map_batches(
         _batch_counts,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_kwargs={"id_col": id_col},
-    ).repartition(_shuffle_partitions())
-    agg = triples.groupby(id_col).aggregate(
-        Sum("cnt", alias_name="n"),
-        Min(PARTITION_COL, alias_name="pid_min"),
-        Max(PARTITION_COL, alias_name="pid_max"),
-        Count(alias_name="n_blocks"),
     )
+    if strategy == "hash_actors":
+        from .hashreduce import hash_reduce
+
+        def widen(batch: pa.Table) -> pa.Table:
+            # distinct columns per aggregate so re-folding stays
+            # idempotent (min-of-mins / max-of-maxes)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "cnt": batch.column("cnt"),
+                    "pid_min": batch.column(PARTITION_COL),
+                    "pid_max": batch.column(PARTITION_COL),
+                }
+            )
+
+        agg = hash_reduce(
+            triples.map_batches(widen, batch_format="pyarrow"), id_col,
+            [("cnt", "sum"), ("pid_min", "min"), ("pid_max", "max")],
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: b.column(id_col),
+                    "n": b.column("cnt"),
+                    "pid_min": b.column("pid_min"),
+                    "pid_max": b.column("pid_max"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        agg = triples.repartition(_shuffle_partitions()).groupby(id_col).aggregate(
+            Sum("cnt", alias_name="n"),
+            Min(PARTITION_COL, alias_name="pid_min"),
+            Max(PARTITION_COL, alias_name="pid_max"),
+            Count(alias_name="n_blocks"),
+        )
     return agg.map_batches(
         _to_violations, batch_format="pyarrow", fn_kwargs={"id_col": id_col}
     )

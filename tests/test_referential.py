@@ -84,3 +84,48 @@ def test_hashjoin_strategy_matches_broadcast():
     ).to_pandas()
     assert sorted(out.record_id) == dropped
     assert set(out.rule_id) == {"R-REF-ORPHAN"}
+
+
+def test_hash_actor_reduce_matches_groupby():
+    """Custom bucket-actor hash reduce ≡ the groupby plan, including
+    partition attribution and messages."""
+    from mtb_validation_service_ray.stages.unique import duplicate_id_violations
+
+    t = make_image_rows(0, 200, seed=31, total=200)
+    dup = pa.concat_tables([t, t.slice(5, 1), t.slice(9, 1), t.slice(9, 1)])
+    ids = rd.from_arrow(dup.select(["image_id", "partition_id"]))
+    cols = ["record_id", "rule_id", "severity", "path", "message", "partition_id"]
+    a = (
+        duplicate_id_violations(ids)
+        .to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    b = (
+        duplicate_id_violations(ids, strategy="hash_actors")
+        .to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    assert a[cols].equals(b[cols]), f"\n{a}\n{b}"
+
+
+def test_hash_reduce_sum_min_max_and_empty():
+    from mtb_validation_service_ray.stages.hashreduce import hash_reduce
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "b", "c", "c", "c"],
+            "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "lo": pa.array([9, 2, 3, None, 5, 1], pa.int64()),
+        }
+    )
+    out = (
+        hash_reduce(rd.from_arrow(t), "k", [("v", "sum"), ("lo", "min")],
+                    num_actors=3)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(out.k) == ["a", "b", "c"]
+    assert list(out.v) == [3, 3, 15]
+    assert list(out.lo) == [2, 3, 1]  # nulls skipped, min over group
+    # empty input → empty result, no hang
+    empty = hash_reduce(
+        rd.from_arrow(t.slice(0, 0)), "k", [("v", "sum")], num_actors=2
+    )
+    assert empty.count() == 0
