@@ -906,7 +906,7 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     from ..stages.dedup import verify_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=(1, 4))
+    cands = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=4)
     verified = _as_table(verify_jaccard_pairs(cands, ds, threshold=0.5))
     if verified.num_rows == 0:
         return pa.table(
@@ -925,7 +925,7 @@ def q_dedup_ngram_jaccard(sf_dir: str):
 def q_dedup_minhash_docs(sf_dir: str):
     """MinHash-LSH candidate pairs over documents (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=(1, 4))
+    out = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=4)
 
     def cast(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -942,7 +942,7 @@ def q_dedup_minhash_docs(sf_dir: str):
 def q_dedup_simhash_docs(sf_dir: str):
     """SimHash near-dup candidates over documents (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = simhash_candidates(ds, id_col="doc_id", max_hamming=3, concurrency=(1, 4))
+    out = simhash_candidates(ds, id_col="doc_id", max_hamming=3, concurrency=4)
 
     def cast(batch: pa.Table) -> pa.Table:
         return pa.table(

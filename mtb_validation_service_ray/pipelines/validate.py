@@ -173,7 +173,13 @@ def run_validation_fused(
     import pyarrow.compute as _pc
 
     from ..stages.fused import ALL_COLUMNS as ALL_COLUMNS_FUSED
-    from ..stages.fused import ID_MARKER, run_fused_pass
+    from ..stages.fused import (
+        ID_MARKER,
+        MARKER_RULE_IDS,
+        TAIL_CAND_MARKER,
+        TAIL_HEAD_MARKER,
+        run_fused_pass,
+    )
 
     ruleset = ruleset if ruleset is not None else default_image_ruleset()
     broadcast = {
@@ -213,6 +219,7 @@ def run_validation_fused(
         input_ds, ruleset, broadcast,
         annotation_keys=annotation_keys,
         batch_size=batch_size, concurrency=concurrency,
+        emit_tail_rows=include_positional,
     ).materialize()
 
     def _only_ids(batch: pa.Table) -> pa.Table:
@@ -225,19 +232,69 @@ def run_validation_fused(
         )
 
     def _only_violations(batch: pa.Table) -> pa.Table:
-        return batch.filter(_pc.not_equal(batch.column("rule_id"), ID_MARKER))
+        return batch.filter(
+            _pc.invert(
+                _pc.is_in(
+                    batch.column("rule_id"),
+                    value_set=pa.array(MARKER_RULE_IDS, pa.string()),
+                )
+            )
+        )
 
     id_rows = combined.map_batches(_only_ids, batch_format="pyarrow")
     row_violations = combined.map_batches(_only_violations, batch_format="pyarrow")
     if include_positional:
-        # sorted-tail rule needs (caption, phash) nullity, which the
-        # fused id-marker stream doesn't carry — one extra pruned read of
-        # three narrow columns (never `bytes`)
-        from ..stages.positional import TAIL_COLUMNS, tail_either_violations
+        # resolve the sorted-tail markers the fused pass emitted: fold
+        # the per-batch partial heads, drop candidates that are their
+        # partition's head (both streams are tiny — markers, not data)
+        from ..schema import violations_table
+        from ..stages import positional as pos
 
-        row_violations = row_violations.union(
-            tail_either_violations(_source(source, TAIL_COLUMNS))
-        )
+        def _tail_markers(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                _pc.is_in(
+                    batch.column("rule_id"),
+                    value_set=pa.array(
+                        [TAIL_HEAD_MARKER, TAIL_CAND_MARKER], pa.string()
+                    ),
+                )
+            )
+
+        marker_tabs = [
+            b
+            for b in combined.map_batches(
+                _tail_markers, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+            if b.num_rows
+        ]
+        tail_v = None
+        if marker_tabs:
+            mt = pa.concat_tables(marker_tabs)
+            heads: dict[int, str] = {}
+            hrows = mt.filter(_pc.equal(mt.column("rule_id"), TAIL_HEAD_MARKER))
+            for pid, oid in zip(
+                hrows.column(PARTITION_COL).to_pylist(),
+                hrows.column("record_id").to_pylist(),
+            ):
+                if pid is not None and (pid not in heads or oid < heads[pid]):
+                    heads[pid] = oid
+            crows = mt.filter(_pc.equal(mt.column("rule_id"), TAIL_CAND_MARKER))
+            keep = [
+                heads.get(p) != o
+                for p, o in zip(
+                    crows.column(PARTITION_COL).to_pylist(),
+                    crows.column("record_id").to_pylist(),
+                )
+            ]
+            crows = crows.filter(pa.array(keep, pa.bool_())) if crows.num_rows else crows
+            if crows.num_rows:
+                tail_v = violations_table(
+                    crows.column("record_id"),
+                    pos.RULE_ID, pos.SEVERITY, pos.PATH, pos.MESSAGE,
+                    crows.column(PARTITION_COL),
+                )
+        if tail_v is not None:
+            row_violations = row_violations.union(rd.from_arrow(tail_v))
     if include_unique:
         from .verdicts import verdicts_with_unique
 

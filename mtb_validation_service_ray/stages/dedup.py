@@ -294,10 +294,15 @@ def minhash_lsh_candidates(
         .groupby("_bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
-    # candidate pairs repeat across bands — dedupe with one aggregate
+    # candidate pairs repeat across bands — dedupe with one aggregate;
+    # coalesce the many per-bucket blocks first (Ray's sort aggregate
+    # costs per input block, and the pair stream is small)
+    import ray as _ray
+
     from ray.data.aggregate import Max
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    return pairs.repartition(n_parts).groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands"),
         Max("n_members", alias_name="n_members"),
         Max("sampled", alias_name="sampled"),
@@ -693,9 +698,12 @@ def simhash_candidates(
         .groupby("_bucket")
         .map_groups(pairs_in_group, batch_format="pandas")
     )
+    import ray as _ray
+
     from ray.data.aggregate import Max
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    return pairs.repartition(n_parts).groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"),
         Max("n_members", alias_name="n_members"),
         Max("sampled", alias_name="sampled"),

@@ -38,8 +38,29 @@ from ..stages.decode_pass import DecodePass
 from ..stages.referential import ORPHAN_RULE
 
 ID_MARKER = "__id__"
+# sorted-tail rule markers (stages/positional.py semantics, fused):
+# per-batch partial heads + missing-both candidates ride the combined
+# stream; the driver folds them after the single materialize()
+TAIL_HEAD_MARKER = "__tail_head__"
+TAIL_CAND_MARKER = "__tail_cand__"
+MARKER_RULE_IDS = (ID_MARKER, TAIL_HEAD_MARKER, TAIL_CAND_MARKER)
 
 ALL_COLUMNS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", PARTITION_COL]
+
+
+def _marker_rows(record_ids, rule_id: str, pids) -> pa.Table:
+    n = len(record_ids)
+    return pa.table(
+        {
+            "record_id": record_ids,
+            "rule_id": pa.array([rule_id] * n, pa.string()),
+            "severity": pa.array([""] * n, pa.string()),
+            "path": pa.array([""] * n, pa.string()),
+            "message": pa.array([""] * n, pa.string()),
+            PARTITION_COL: pids,
+        },
+        schema=VIOLATION_SCHEMA,
+    )
 
 
 class FusedValidationPass(DecodePass):
@@ -55,6 +76,7 @@ class FusedValidationPass(DecodePass):
         broadcast: dict[str, Any] | None = None,
         annotation_keys: Any | None = None,
         emit_id_rows: bool = True,
+        emit_tail_rows: bool = False,
     ):
         resolved = {}
         for k, v in (broadcast or {}).items():
@@ -67,6 +89,7 @@ class FusedValidationPass(DecodePass):
             annotation_keys = pa.array(sorted(annotation_keys), pa.string())
         self.annotation_keys = annotation_keys
         self.emit_id_rows = emit_id_rows
+        self.emit_tail_rows = emit_tail_rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -104,6 +127,33 @@ class FusedValidationPass(DecodePass):
                         ORPHAN_RULE.render_message(), bad_pids,
                     )
                 )
+        if self.emit_tail_rows and {"caption", "phash", PARTITION_COL} <= set(
+            batch.column_names
+        ):
+            heads = (
+                batch.select([PARTITION_COL, "image_id"])
+                .group_by(PARTITION_COL)
+                .aggregate([("image_id", "min")])
+            )
+            out.append(
+                _marker_rows(
+                    heads.column("image_id_min").cast(pa.string()),
+                    TAIL_HEAD_MARKER,
+                    heads.column(PARTITION_COL).combine_chunks().cast(pa.int32()),
+                )
+            )
+            missing_both = pc.and_(
+                pc.is_null(batch.column("caption")), pc.is_null(batch.column("phash"))
+            )
+            if pc.any(missing_both).as_py():
+                cand = batch.filter(missing_both)
+                out.append(
+                    _marker_rows(
+                        cand.column("image_id").cast(pa.string()),
+                        TAIL_CAND_MARKER,
+                        cand.column(PARTITION_COL).cast(pa.int32()),
+                    )
+                )
         if self.emit_id_rows:
             out.append(
                 pa.table(
@@ -132,6 +182,7 @@ def run_fused_pass(
     batch_size: int = 1024,
     concurrency: int | tuple[int, int] | None = None,
     emit_id_rows: bool = True,
+    emit_tail_rows: bool = False,
 ) -> rd.Dataset:
     refs = {
         k: (v if isinstance(v, ray.ObjectRef) else ray.put(v))
@@ -158,6 +209,7 @@ def run_fused_pass(
             "broadcast": refs,
             "annotation_keys": ann_ref,
             "emit_id_rows": emit_id_rows,
+            "emit_tail_rows": emit_tail_rows,
         },
         concurrency=concurrency,
     )

@@ -8,10 +8,13 @@ re-expression (R-TAIL-EITHER): within each partition, rows ordered by
 have ``caption`` OR ``phash`` present.
 
 Scale design — "skip the first element of the sort order" needs no
-actual sort: the head of each partition is its *minimum* order key, so
-one tiny ``groupby(partition).min(order_col)`` (one row per partition)
-is broadcast into a fully vectorized ``map_batches`` stream.  No
-per-group Python, no global sort, no shuffle of the data rows.
+actual sort OR shuffle: ONE streaming ``map_batches`` pass emits, per
+batch, (a) the per-partition minimum order key (≤ #partitions tiny
+rows) and (b) the rows missing both fields (violation candidates —
+rare by assumption, like every violation stream).  The driver folds the
+partial minima into the global heads and drops the candidates that turn
+out to be their partition's head.  Cost ≈ one pruned 4-column read; no
+groupby exchange, no second pass.
 """
 
 from __future__ import annotations
@@ -19,11 +22,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 import ray.data as rd
-from ray.data.aggregate import Min
 
-from ..schema import PARTITION_COL, VIOLATION_SCHEMA, violations_table
+from ..schema import PARTITION_COL, violations_table
 
 RULE_ID = "R-TAIL-EITHER"
 SEVERITY = "error"
@@ -33,50 +34,78 @@ MESSAGE = "tail row (non-head of its partition) has neither caption nor phash"
 TAIL_COLUMNS = ["image_id", "caption", "phash", PARTITION_COL]
 
 
-def partition_heads(ds: rd.Dataset, *, order_col: str = "image_id") -> dict[int, str]:
-    """min(order_col) per partition — one row per partition, collected
-    driver-side (tiny: #partitions entries) for broadcast."""
-    agg = ds.groupby(PARTITION_COL).aggregate(Min(order_col, alias_name="_head"))
-    heads: dict[int, str] = {}
-    for batch in agg.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
-        for pid, head in zip(
-            batch.column(PARTITION_COL).to_pylist(), batch.column("_head").to_pylist()
-        ):
-            if pid is not None:
-                heads[int(pid)] = head
-    return heads
-
-
 def tail_either_violations(
     ds: rd.Dataset, *, order_col: str = "image_id"
 ) -> rd.Dataset:
-    """The R-TAIL-EITHER pass: broadcast the per-partition head ids and
-    stream a vectorized mask over (caption, phash) nullity."""
-    heads_ref = ray.put(partition_heads(ds, order_col=order_col))
+    """The R-TAIL-EITHER pass (eager: the head set must be complete
+    before candidates can be judged — mirrors the adaptive driver
+    reduce's small-result assumption: candidates are a violation
+    stream, not the data)."""
 
-    def check(batch: pa.Table) -> pa.Table:
-        heads = ray.get(heads_ref)
-        missing_both = pc.and_(
+    def scan(batch: pa.Table) -> pa.Table:
+        heads = (
+            batch.select([PARTITION_COL, order_col])
+            .group_by(PARTITION_COL)
+            .aggregate([(order_col, "min")])
+        )
+        missing = pc.and_(
             pc.is_null(batch.column("caption")), pc.is_null(batch.column("phash"))
-        ).to_numpy(zero_copy_only=False).astype(bool)
-        if not missing_both.any():
-            return VIOLATION_SCHEMA.empty_table()
-        ids = batch.column(order_col).to_numpy(zero_copy_only=False)
-        pids = batch.column(PARTITION_COL).to_numpy(zero_copy_only=False)
-        head_arr = np.array(
-            [heads.get(int(p)) if p is not None and not (isinstance(p, float) and np.isnan(p)) else None
-             for p in pids],
-            dtype=object,
         )
-        is_head = ids == head_arr
-        violated = missing_both & ~is_head
-        if not violated.any():
-            return VIOLATION_SCHEMA.empty_table()
-        idx = pa.array(np.nonzero(violated)[0])
-        return violations_table(
-            batch.column(order_col).take(idx),
-            RULE_ID, SEVERITY, PATH, MESSAGE,
-            batch.column(PARTITION_COL).take(idx).cast(pa.int32()),
+        cand = batch.filter(missing)
+        return pa.table(
+            {
+                "pid": pa.concat_arrays(
+                    [
+                        heads.column(PARTITION_COL).combine_chunks().cast(pa.int32()),
+                        cand.column(PARTITION_COL).combine_chunks().cast(pa.int32()),
+                    ]
+                ),
+                "oid": pa.concat_arrays(
+                    [
+                        heads.column(f"{order_col}_min").combine_chunks(),
+                        cand.column(order_col).combine_chunks(),
+                    ]
+                ),
+                "is_head": pa.array(
+                    [1] * heads.num_rows + [0] * cand.num_rows, pa.int8()
+                ),
+            }
         )
 
-    return ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [
+        b
+        for b in ds.map_batches(scan, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 16
+        )
+        if b.num_rows
+    ]
+    if not parts:
+        from ..schema import VIOLATION_SCHEMA
+
+        return rd.from_arrow(VIOLATION_SCHEMA.empty_table())
+    t = pa.concat_tables(parts)
+    head_rows = t.filter(pc.equal(t.column("is_head"), 1))
+    heads: dict[int, str] = {}
+    for pid, oid in zip(
+        head_rows.column("pid").to_pylist(), head_rows.column("oid").to_pylist()
+    ):
+        if pid is not None and (pid not in heads or oid < heads[pid]):
+            heads[pid] = oid
+    cand = t.filter(pc.equal(t.column("is_head"), 0))
+    pids = cand.column("pid").to_pylist()
+    oids = cand.column("oid").to_pylist()
+    keep = np.array(
+        [heads.get(p) != o for p, o in zip(pids, oids)], dtype=bool
+    ) if cand.num_rows else np.array([], dtype=bool)
+    idx = pa.array(np.nonzero(keep)[0])
+    from ..schema import VIOLATION_SCHEMA
+
+    if len(idx) == 0:
+        return rd.from_arrow(VIOLATION_SCHEMA.empty_table())
+    return rd.from_arrow(
+        violations_table(
+            cand.column("oid").take(idx),
+            RULE_ID, SEVERITY, PATH, MESSAGE,
+            cand.column("pid").take(idx),
+        )
+    )
