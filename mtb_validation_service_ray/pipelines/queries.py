@@ -384,21 +384,35 @@ def q_agg_daily_events(sf_dir: str):
 
 
 def q_agg_top5_users_by_value(sf_dir: str):
-    """Sort / top-k: 5 highest-spending users, deterministic tiebreak."""
+    """Sort / top-k: 5 highest-spending users, deterministic tiebreak.
+
+    Distributed top-k: each block of per-user aggregates keeps only its
+    local top-5 (vectorized argpartition-style select), and the driver
+    merges the tiny #blocks×5 candidate stream — the knn_brute merge
+    pattern; the full per-user aggregate never lands on the driver."""
     ds = _read(sf_dir, "events", ["user_id", "value"])
     agg = ds.groupby("user_id").aggregate(Sum("value", alias_name="t"))
-    top = _as_table(agg)
-    order = sorted(
-        zip(
-            top.column("user_id").to_pylist(),
-            _round_away(top.column("t").to_numpy(zero_copy_only=False), 2),
-        ),
-        key=lambda r: (-r[1], r[0]),
-    )[:5]
+    k = 5
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        t = _round_away(batch.column("t").to_numpy(zero_copy_only=False), 2)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -t))[:k]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[order].astype(np.int64), pa.int64()),
+                "total_value": pa.array(t[order], pa.float64()),
+            }
+        )
+
+    cands = _as_table(agg.map_batches(local_topk, batch_format="pyarrow"))
+    uid = cands.column("user_id").to_numpy(zero_copy_only=False)
+    tv = cands.column("total_value").to_numpy(zero_copy_only=False)
+    order = np.lexsort((uid, -tv))[:k]
     return pa.table(
         {
-            "user_id": pa.array([r[0] for r in order], pa.int64()),
-            "total_value": pa.array([r[1] for r in order], pa.float64()),
+            "user_id": pa.array(uid[order], pa.int64()),
+            "total_value": pa.array(tv[order], pa.float64()),
         }
     )
 

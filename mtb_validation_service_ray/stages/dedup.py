@@ -194,27 +194,42 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for rid, text in zip(ids, texts):
-            if text is None:
-                continue
-            sig = minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
-            bands = sig.reshape(self.bands, self.rows_per_band)
-            band_hashes = pd.util.hash_array(
-                np.ascontiguousarray(bands).view(
-                    [("", bands.dtype)] * self.rows_per_band
-                ).ravel()
+        valid_idx = np.array(
+            [i for i, t in enumerate(texts) if t is not None], dtype=np.int64
+        )
+        n = len(valid_idx)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": batch.column(self.id_col).slice(0, 0),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
             )
-            for b_id, b_hash in enumerate(band_hashes):
-                out_id.append(rid)
-                out_band.append(b_id)
-                out_hash.append(np.int64(b_hash))
+        # shingling is inherently per-document (string ops); everything
+        # after is batched across the documents
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for j, i in enumerate(valid_idx):
+            sigs[j] = minhash_signature(
+                shingle_hashes(texts[i], self.k), self.a, self.b
+            )
+        # band hashes: one vectorized hash call PER BAND over all docs
+        # (was one per doc×band — the stage's former hot loop)
+        bands_m = sigs.reshape(n, self.bands, self.rows_per_band)
+        band_hash = np.empty((n, self.bands), dtype=np.int64)
+        for b in range(self.bands):
+            arr = np.ascontiguousarray(bands_m[:, b, :])
+            band_hash[:, b] = pd.util.hash_array(
+                arr.view([("", arr.dtype)] * self.rows_per_band).ravel()
+            ).astype(np.int64)
+        take = pa.array(np.repeat(valid_idx, self.bands))
         return pa.table(
             {
-                "doc_id": pa.array(out_id),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "doc_id": batch.column(self.id_col).take(take),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(band_hash.ravel(), pa.int64()),
             }
         )
 
