@@ -819,9 +819,24 @@ def q_text_fingerprint(sf_dir: str):
 
 def q_events_sessions_per_user(sf_dir: str):
     """Session windows (1h gap) rolled up per user."""
+    from ..stages.hashreduce import hash_reduce
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     sess = session_windows(ds, key_col="user_id", ts_col="ts", gap_seconds=3600.0)
-    agg = sess.groupby("user_id").aggregate(Count(alias_name="n_sessions"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["user_id"]).group_by(["user_id"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {"user_id": g.column("user_id"),
+             "n_sessions": g.column("count_all").cast(pa.int64())}
+        )
+
+    agg = hash_reduce(
+        sess.map_batches(partial, batch_format="pyarrow"),
+        "user_id", [("n_sessions", "sum")], num_actors=8,
+    )
 
     def cast(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -76,22 +76,46 @@ def session_windows(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: float = 3600.0,
+    num_buckets: int | None = None,
 ) -> rd.Dataset:
     """Session windows: per key, sort by timestamp and split where the
-    gap exceeds ``gap_seconds``; emits one row per session.  One hash
-    shuffle on the key; the per-group body is vectorized pandas over
-    that key's events."""
+    gap exceeds ``gap_seconds``; emits one row per session.
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col, kind="stable")
+    Keys are hash-bucketed (one shuffle on ``hash(key) % B``, B ≈ #CPUs)
+    and each bucket sessionizes ALL its keys in one vectorized pandas
+    body — sort by (key, ts), session boundary = key change OR gap —
+    so per-group Python scales with #buckets, never #keys (10^9 users
+    ⇒ still B Python calls)."""
+    import numpy as np
+
+    from ..functions.sketches import hash64
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def sessionize_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col], kind="stable")
+        new_key = g[key_col].ne(g[key_col].shift())
         gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
-        session_id = (gaps > gap_seconds).cumsum()
+        session_id = (new_key | (gaps > gap_seconds)).cumsum()
         out = g.groupby(session_id).agg(
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
             n_events=(ts_col, "size"),
+            **{key_col: (key_col, "first")},
         )
-        out[key_col] = g[key_col].iloc[0]
         return out.reset_index(drop=True)
 
-    return ds.groupby(key_col).map_groups(sessionize, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(sessionize_bucket, batch_format="pandas")
+    )
