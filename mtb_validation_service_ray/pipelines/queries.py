@@ -985,6 +985,24 @@ def q_dedup_simhash_docs(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def q_dedup_duplicate_clusters(sf_dir: str):
+    """Full near-dup clustering chain: MinHash-LSH candidates →
+    distributed exact-Jaccard verification → connected components
+    (auto driver/distributed) → one row per clustered doc with its
+    canonical (min-id) cluster label (rows-only)."""
+    from ..stages.dedup import connected_components, verify_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=4)
+    verified = verify_jaccard_pairs(cands, ds, threshold=0.5)
+    clusters = connected_components(verified)
+    if clusters.num_rows == 0:
+        return pa.table(
+            {"id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+        )
+    return clusters.sort_by([("id", "ascending")])
+
+
 def q_hll_distinct_users(sf_dir: str):
     """HyperLogLog distinct estimate (rows-only; ±2% vs the exact
     query, asserted in tests)."""
@@ -1557,6 +1575,7 @@ QUERIES = {
     "text_quality_score": q_text_quality_score,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_minhash_docs": q_dedup_minhash_docs,
+    "dedup_duplicate_clusters": q_dedup_duplicate_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "hll_distinct_users": q_hll_distinct_users,

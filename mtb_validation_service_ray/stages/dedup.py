@@ -333,22 +333,111 @@ def verify_jaccard_pairs(
     threshold: float = 0.7,
     shingle_k: int = 5,
     num_partitions: int | None = None,
+    strategy: str = "auto",
+    broadcast_max_pairs: int = 2_000_000,
 ) -> rd.Dataset:
-    """Exact Jaccard verification of candidate pairs, fully distributed:
-    join the (small) candidate set to the text column twice — once per
-    pair side — then verify inside ``map_batches``.  The corpus never
-    leaves the cluster; the candidate set, not the corpus, is the
-    shuffled side (the r1 driver-side whole-corpus dict is gone).
+    """Exact Jaccard verification of candidate pairs — the corpus never
+    lands on the driver (the r1 whole-corpus dict is gone):
+
+    * ``strategy="broadcast"`` — collect the (small) pair list, stream
+      ONE filtered pass over the corpus keeping only the candidate
+      docs' texts (bounded by 2×pairs, not the corpus), broadcast that
+      lookup and verify per pair batch.  Fast path while pairs fit
+      ``broadcast_max_pairs``.
+    * ``strategy="join"`` — hash-join the pair set to the text column
+      twice (once per side) and verify inside ``map_batches``; the
+      scale path when even the candidate set is too large to collect.
+    * ``strategy="auto"`` (default) — count-gated switch between them.
 
     Returns a Dataset of ``(doc_a, doc_b, jaccard)`` with
     ``jaccard >= threshold``."""
-    if num_partitions is None:
-        import ray
+    import ray
 
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
     pairs_ds = pairs if isinstance(pairs, rd.Dataset) else rd.from_arrow(pairs)
     docs_ds = docs if isinstance(docs, rd.Dataset) else rd.from_arrow(docs)
     texts = docs_ds.select_columns([id_col, text_col])
+
+    if strategy == "auto":
+        # pin the (small, pre-filtered) candidate set so the count gate
+        # and the verification don't re-execute the LSH chain
+        pairs_ds = pairs_ds.materialize()
+        n_pairs = pairs_ds.count()
+        strategy = "broadcast" if n_pairs <= broadcast_max_pairs else "join"
+    if strategy == "broadcast":
+        pair_tabs = [
+            b.select(["doc_a", "doc_b"])
+            for b in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ]
+        if not pair_tabs or sum(t.num_rows for t in pair_tabs) == 0:
+            return rd.from_arrow(
+                pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+            )
+        pairs_t = pa.concat_tables(pair_tabs)
+        import pyarrow.compute as pc
+
+        needed = pc.unique(
+            pa.concat_arrays(
+                [pairs_t.column("doc_a").combine_chunks(),
+                 pairs_t.column("doc_b").combine_chunks()]
+            )
+        )
+        needed_ref = ray.put(needed)
+
+        def keep_needed(batch: pa.Table) -> pa.Table:
+            need = ray.get(needed_ref)
+            return batch.filter(
+                pc.is_in(batch.column(id_col), value_set=need)
+            ).select([id_col, text_col])
+
+        kept = [
+            b
+            for b in texts.map_batches(
+                keep_needed, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+            if b.num_rows
+        ]
+        lookup: dict = {}
+        for t in kept:
+            lookup.update(
+                zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist())
+            )
+        lookup_ref = ray.put(lookup)
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            texts_by_id = ray.get(lookup_ref)
+            cache: dict = {}
+
+            def sh(doc_id):
+                if doc_id not in cache:
+                    cache[doc_id] = set(
+                        shingle_hashes(texts_by_id.get(doc_id) or "", shingle_k).tolist()
+                    )
+                return cache[doc_id]
+
+            out_a, out_b, out_j = [], [], []
+            for a, b in zip(
+                batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+            ):
+                j = jaccard(sh(a), sh(b))
+                if j >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(round(j, 6))
+            return pa.table(
+                {"doc_a": pa.array(out_a, batch.column("doc_a").type),
+                 "doc_b": pa.array(out_b, batch.column("doc_b").type),
+                 "jaccard": pa.array(out_j, pa.float64())}
+            )
+
+        return rd.from_arrow(pairs_t).map_batches(
+            verify_broadcast, batch_format="pyarrow"
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     def _keep(*cols):
         def fn(batch: pa.Table) -> pa.Table:

@@ -131,3 +131,22 @@ def test_simhash_hot_bucket_cap():
     assert (pairs.doc_a == 0).all()
     assert (pairs.hamming == 0).all()
     assert (pairs.sampled == 1).all()
+
+
+def test_verify_jaccard_strategies_agree():
+    """Broadcast (candidate-texts-only) and double-hash-join verification
+    produce identical verified pair sets."""
+    t = _docs_table()
+    ds = rd.from_arrow(t)
+    cands = minhash_lsh_candidates(ds, concurrency=1)
+    a = (
+        verify_jaccard_pairs(cands, ds, threshold=0.5, strategy="broadcast")
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    b = (
+        verify_jaccard_pairs(cands, ds, threshold=0.5, strategy="join",
+                             num_partitions=4)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0
