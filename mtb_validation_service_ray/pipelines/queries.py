@@ -1107,6 +1107,28 @@ def q_image_stats_profile(sf_dir: str):
     return stats_report(profile_stats(meta, concurrency=(1, 4)))
 
 
+def q_image_stats_exact(sf_dir: str):
+    """Exact lane of the per-partition stats profile (count / null-rate
+    / min / max / mean over the actor-pool sketch pass), hash-checked
+    against SQL — the HLL/t-digest lanes stay rows-only in
+    ``image_stats_profile``.  Includes the merged global row
+    (partition_id = -1)."""
+    d = _image_fixture_dir()
+    meta = rd.read_parquet(d, columns=["image_id", "w", "h", "caption", PARTITION_COL])
+    report = stats_report(profile_stats(meta, concurrency=2))
+    cols = {
+        "partition_id": report.column(PARTITION_COL).cast(pa.int32()),
+        "n_rows": report.column("n_rows").cast(pa.int64()),
+        "null_caption": report.column("null_caption").cast(pa.int64()),
+        "min_w": report.column("min_w").cast(pa.float64()),
+        "max_w": report.column("max_w").cast(pa.float64()),
+        "mean_w": pa.array(
+            _round_away(report.column("mean_w").to_numpy(zero_copy_only=False), 4)
+        ),
+    }
+    return pa.table(cols)
+
+
 def q_image_embedding_dedup(sf_dir: str):
     """Full multimodal chain: decode → feature-extract (actor pool) →
     embedding-cosine near-dup pairs — the hot-cluster rows share pixel
@@ -1585,6 +1607,7 @@ QUERIES = {
     "image_issue_subtrees": q_image_issue_subtrees,
     "image_verdict_summary": q_image_verdict_summary,
     "image_stats_profile": q_image_stats_profile,
+    "image_stats_exact": q_image_stats_exact,
     "image_features": q_image_features,
     "image_phash_dupgroups": q_image_phash_dupgroups,
     "image_embedding_dedup": q_image_embedding_dedup,
@@ -1594,3 +1617,23 @@ QUERIES = {
 # /tmp fixture path, ensured on build — see ensure_image_oracle_inputs()
 ORACLE_SQL["image_validate_meta"] = _image_meta_oracle_sql()
 ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()
+ORACLE_SQL["image_phash_dupgroups"] = f"""
+    SELECT phash, MIN(image_id) AS keep_id, CAST(count(*) AS BIGINT) AS n
+    FROM read_parquet('{_image_fixture_dir()}/part-*.parquet')
+    GROUP BY phash HAVING count(*) > 1"""
+ORACLE_SQL["image_stats_exact"] = f"""
+    WITH src AS (SELECT * FROM read_parquet('{_image_fixture_dir()}/part-*.parquet')),
+    per AS (
+      SELECT CAST(partition_id AS INT) AS partition_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_caption,
+             CAST(MIN(w) AS DOUBLE) AS min_w, CAST(MAX(w) AS DOUBLE) AS max_w,
+             ROUND(SUM(CAST(w AS DOUBLE)) / count(*), 4) AS mean_w
+      FROM src GROUP BY partition_id),
+    overall AS (
+      SELECT -1 AS partition_id, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_caption,
+             CAST(MIN(w) AS DOUBLE) AS min_w, CAST(MAX(w) AS DOUBLE) AS max_w,
+             ROUND(SUM(CAST(w AS DOUBLE)) / count(*), 4) AS mean_w
+      FROM src)
+    SELECT * FROM per UNION ALL SELECT * FROM overall"""
