@@ -114,10 +114,15 @@ def hash_reduce(
         ray.get(pending)
         return pa.table({"_routed": pa.array([len(pending)], pa.int64())})
 
-    # drive the routing to completion (the stream's only consumer)
-    for _ in ds.map_batches(route, batch_format="pyarrow").iter_batches(
-        batch_size=1 << 16
-    ):
+    # drive the routing to completion (the stream's only consumer).
+    # Exactly-once discipline: the adds are side effects, so a RETRIED
+    # route task would re-send its slices and double-count — the stage
+    # is marked non-retryable (max_retries=0); a worker crash fails this
+    # call instead, and the caller re-runs the whole (idempotent) stage
+    # with fresh reducers.
+    for _ in ds.map_batches(
+        route, batch_format="pyarrow", max_retries=0
+    ).iter_batches(batch_size=1 << 16):
         pass
     flags = ray.get([a.has_data.remote() for a in actors])
     refs = [a.finalize.remote() for a, f in zip(actors, flags) if f]
