@@ -33,6 +33,10 @@ from ..functions.sketches import hash64
 
 _COMPACT_EVERY = 64  # received slices per incremental fold
 
+# per-worker-process guard: each process sends the (empty) schema slice
+# to every reducer once per hash_reduce call, not once per batch
+_SCHEMA_SENT: set[str] = set()
+
 
 # fractional CPU: reducers are mailbox actors (append + occasional
 # fold); a full core each would starve the routing map tasks on small
@@ -44,6 +48,7 @@ class _ReduceActor:
         self.key_cols = key_cols
         self.aggs = aggs
         self.parts: list[pa.Table] = []
+        self.schema: pa.Schema | None = None
         self.received = 0
 
     def _fold(self) -> None:
@@ -61,6 +66,8 @@ class _ReduceActor:
         self.parts = [pa.table(cols)]
 
     def add(self, table: pa.Table) -> int:
+        if self.schema is None:
+            self.schema = table.schema  # learned even from empty slices
         if table.num_rows:
             self.parts.append(table)
             self.received += 1
@@ -68,11 +75,13 @@ class _ReduceActor:
                 self._fold()
         return self.received
 
-    def has_data(self) -> bool:
-        return bool(self.parts)
+    def has_schema(self) -> bool:
+        return self.schema is not None
 
     def finalize(self) -> pa.Table:
         self._fold()
+        if not self.parts:
+            return self.schema.empty_table()
         return self.parts[0]
 
 
@@ -95,8 +104,20 @@ def hash_reduce(
         _ReduceActor.remote(key_cols, list(aggs)) for _ in range(num_actors)
     ]
 
+    import uuid
+
+    call_id = uuid.uuid4().hex
+
     def route(batch: pa.Table, *, actors=actors, n=num_actors) -> pa.Table:
+        # teach every reducer the input schema (empty slice) so an
+        # all-empty key space still finalizes with typed empty blocks —
+        # once per worker process, not per batch
+        schema_refs = []
+        if call_id not in _SCHEMA_SENT:
+            _SCHEMA_SENT.add(call_id)
+            schema_refs = [a.add.remote(batch.slice(0, 0)) for a in actors]
         if batch.num_rows == 0:
+            ray.get(schema_refs)
             return pa.table({"_routed": pa.array([], pa.int64())})
         h = np.zeros(len(batch), dtype=np.uint64)
         for c in key_cols:
@@ -104,7 +125,7 @@ def hash_reduce(
                 batch.column(c).to_numpy(zero_copy_only=False)
             ).astype(np.uint64)
         bucket = (h % np.uint64(n)).astype(np.int64)
-        pending = []
+        pending = list(schema_refs)
         for b in np.unique(bucket):
             pending.append(
                 actors[int(b)].add.remote(batch.filter(pa.array(bucket == b)))
@@ -124,7 +145,7 @@ def hash_reduce(
         route, batch_format="pyarrow", max_retries=0
     ).iter_batches(batch_size=1 << 16):
         pass
-    flags = ray.get([a.has_data.remote() for a in actors])
+    flags = ray.get([a.has_schema.remote() for a in actors])
     refs = [a.finalize.remote() for a, f in zip(actors, flags) if f]
     if refs:
         # block references stay in the object store (task returns are
