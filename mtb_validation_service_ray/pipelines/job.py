@@ -204,7 +204,14 @@ def run_job(
         shutil.rmtree(os.path.join(out_dir, derived), ignore_errors=True)
     verdict_ds = verdicts(id_ds, all_violations).materialize()
     verdict_ds.write_parquet(os.path.join(out_dir, "verdicts"))
-    all_violations.write_parquet(os.path.join(out_dir, "violations", "all"))
+    all_dir = os.path.join(out_dir, "violations", "all")
+    all_violations.write_parquet(all_dir)
+    os.makedirs(all_dir, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(all_dir)):
+        # schema-stable sink even with zero violations
+        pq.write_table(
+            VIOLATION_SCHEMA.empty_table(), os.path.join(all_dir, "empty.parquet")
+        )
 
     report = partition_report(verdict_ds)
     pq.write_table(report, os.path.join(out_dir, "partition_report.parquet"))
