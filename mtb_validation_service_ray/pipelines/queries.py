@@ -849,6 +849,31 @@ def q_events_sessions_per_user(sf_dir: str):
     return agg.map_batches(cast, batch_format="pyarrow")
 
 
+def q_events_sessions_streaming(sf_dir: str):
+    """Streaming variant of the sessionizer: the events log is replayed
+    in event-time order through the keyed shard-actor stage
+    (stages/streaming.py — unbounded-log semantics with watermarks) and
+    rolled up per user; hash-checked against the same SQL
+    window-function oracle as the offline path."""
+    from ..stages.streaming import StreamingSessionizer
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).sort("ts")
+    s = StreamingSessionizer(
+        key_col="user_id", ts_col="ts", gap_seconds=3600.0, num_shards=4
+    )
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        s.feed(b)
+    res = s.finish()
+    t = res.sessions
+    counts = t.group_by(["key"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "user_id": pc.cast(counts.column("key"), pa.int64()),
+            "n_sessions": counts.column("count_all").cast(pa.int64()),
+        }
+    ).sort_by("user_id")
+
+
 def q_knn_embeddings(sf_dir: str):
     """Brute-force cosine top-10 for the vec_id=0 embedding."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1592,6 +1617,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "events_sessions_per_user": q_events_sessions_per_user,
+    "events_sessions_streaming": q_events_sessions_streaming,
     "knn_embeddings": q_knn_embeddings,
     "knn_ivf_embeddings": q_knn_ivf_embeddings,
     "text_quality_score": q_text_quality_score,
@@ -1615,6 +1641,7 @@ QUERIES = {
 
 # appended (not in the literal) because the SQL embeds the deterministic
 # /tmp fixture path, ensured on build — see ensure_image_oracle_inputs()
+ORACLE_SQL["events_sessions_streaming"] = ORACLE_SQL["events_sessions_per_user"]
 ORACLE_SQL["image_validate_meta"] = _image_meta_oracle_sql()
 ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()
 ORACLE_SQL["image_phash_dupgroups"] = f"""
