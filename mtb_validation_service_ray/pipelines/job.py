@@ -248,12 +248,15 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
+        total_mem = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # default ~43% object store spills large payload runs
+            object_store_memory=int(total_mem * 0.55),
         )
     from ray.data import DataContext
 
