@@ -69,6 +69,7 @@ def run_job(
     annotations: rd.Dataset | pa.Table | None = None,
     chunk_files: int = 8,
     now: str | None = None,
+    expected_partitions: Iterable[int] | None = None,
     with_stats: bool = True,
     reference_histograms: dict | None = None,
     row_batch_size: int = 8192,
@@ -162,6 +163,14 @@ def run_job(
         duplicate_id_violations(id_ds),
         tail_either_violations(io_shim.read_table(fragments, columns=TAIL_COLUMNS)),
     ]
+    if expected_partitions is not None:
+        from ..stages.cardinality import partition_cardinality_violations
+
+        global_passes.append(
+            partition_cardinality_violations(
+                id_ds, expected_partitions=list(expected_partitions)
+            )
+        )
     if annotations is not None:
         ann = (
             rd.from_arrow(annotations)

@@ -234,6 +234,39 @@ def q_check_unique_orderkey(sf_dir: str):
     )
 
 
+def q_check_cardinality_lang(sf_dir: str):
+    """Collection-cardinality guard (the reference's 8 collection
+    non-empty warnings + count inequalities, MTBValidators.scala:699-733,
+    promoted to dataset level): language groups holding fewer than 75
+    documents — per-batch partial counts, one tiny groupby."""
+
+    ds = _read(sf_dir, "documents", ["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"lang": g.column("lang"),
+             "cnt": g.column("count_all").cast(pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+
+    def thin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": batch.column("lang"),
+             "n": batch.column("n").cast(pa.int64())}
+        ).filter(pc.less(batch.column("n"), 75))
+
+    return _with_schema(
+        agg.map_batches(thin, batch_format="pyarrow"),
+        pa.schema([("lang", pa.string()), ("n", pa.int64())]),
+    )
+
+
 def q_check_ref_users_without_purchase(sf_dir: str):
     """Referential anti-join (R-REF-ORPHAN family; claim without
     response ⇒ warning, MTBValidators.scala:621-623): users with no
@@ -1599,6 +1632,7 @@ QUERIES = {
     "check_xfield_nchars": q_check_xfield_nchars,
     "check_unique_orderkey": q_check_unique_orderkey,
     "check_ref_users_without_purchase": q_check_ref_users_without_purchase,
+    "check_cardinality_lang": q_check_cardinality_lang,
     "join_revenue_by_region": q_join_revenue_by_region,
     "parse_props_k": q_parse_props_k,
     "agg_user_type_fold": q_agg_user_type_fold,
@@ -1641,6 +1675,9 @@ QUERIES = {
 
 # appended (not in the literal) because the SQL embeds the deterministic
 # /tmp fixture path, ensured on build — see ensure_image_oracle_inputs()
+ORACLE_SQL["check_cardinality_lang"] = """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+    GROUP BY lang HAVING count(*) < 75"""
 ORACLE_SQL["events_sessions_streaming"] = ORACLE_SQL["events_sessions_per_user"]
 ORACLE_SQL["image_validate_meta"] = _image_meta_oracle_sql()
 ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()

@@ -96,3 +96,70 @@ def test_tail_either_head_exempt():
     assert list(out.record_id) == ["a2"]
     assert list(out.rule_id) == ["R-TAIL-EITHER"]
     assert list(out.path) == ["/record/tail"]
+
+
+def test_cardinality_guards():
+    """R-CARD-PART / R-CARD-RATIO dataset-level count guards
+    (collection non-empty + count inequality, MTBValidators.scala:699-733)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mtb_validation_service_ray.stages.cardinality import (
+        count_ratio_violations,
+        partition_cardinality_violations,
+    )
+
+    t = pa.table(
+        {
+            "image_id": [f"i{k}" for k in range(6)],
+            "partition_id": pa.array([0, 0, 0, 1, 1, 3], pa.int32()),
+        }
+    )
+    out = partition_cardinality_violations(
+        rd.from_arrow(t), expected_partitions=range(4), min_rows=2
+    ).to_pandas()
+    # partition 2 absent, partition 3 thin (1 < 2)
+    assert list(out.record_id) == ["partition=2", "partition=3"]
+    assert set(out.rule_id) == {"R-CARD-PART"}
+
+    comp = pa.table(
+        {
+            "image_id": ["i0", "i3"],
+            "partition_id": pa.array([0, 1], pa.int32()),
+        }
+    )
+    out2 = count_ratio_violations(rd.from_arrow(t), rd.from_arrow(comp)).to_pandas()
+    # p0: 1 companion for 3 primary; p1: 1 for 2; p3: 0 for 1 → all fire
+    assert list(out2.record_id) == ["partition=0", "partition=1", "partition=3"]
+    assert set(out2.rule_id) == {"R-CARD-RATIO"}
+
+
+def test_run_job_partition_cardinality(tmp_path):
+    """An expected-but-missing partition surfaces as R-CARD-PART through
+    run_job's global phase."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mtb_validation_service_ray.pipelines.job import run_job
+    from mtb_validation_service_ray.sources.fixtures import make_image_rows
+
+    t = make_image_rows(0, 200, seed=9, total=200, n_partitions=4)
+    src = tmp_path / "imgs"
+    src.mkdir()
+    # drop partition 2 entirely
+    kept = t.filter(pc.not_equal(t.column("partition_id"), 2))
+    pq.write_table(kept, str(src / "part-0.parquet"))
+    r = run_job(
+        str(src), str(tmp_path / "out"), chunk_files=4,
+        expected_partitions=range(4), with_stats=False, concurrency=1,
+    )
+    import pandas as pd
+
+    v = pd.concat(
+        [
+            pq.read_table(str(p)).to_pandas()
+            for p in (tmp_path / "out" / "violations" / "all").glob("*.parquet")
+        ]
+    )
+    card = v[v.rule_id == "R-CARD-PART"]
+    assert list(card.record_id) == ["partition=2"]
