@@ -40,9 +40,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; sketches,
-    LSH candidates, fingerprints and the image pipelines are rows-only
-    (no SQL analog) and verified by the pytest suite instead."""
+    """DuckDB-equivalent SQL for every SQL-expressible query — including
+    the image-pipeline subset that reads the deterministic /tmp fixture
+    parquet (metadata rules + gating, path-subtree roll-up, phash dup
+    groups, exact stats lane).  Sketches, LSH candidate chains and
+    fingerprints are rows-only (no SQL analog) and verified by the
+    pytest suite instead."""
     from mtb_validation_service_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
