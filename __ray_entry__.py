@@ -46,6 +46,12 @@ def oracle_sql() -> dict[str, str]:
     groups, exact stats lane).  Sketches, LSH candidate chains and
     fingerprints are rows-only (no SQL analog) and verified by the
     pytest suite instead."""
-    from mtb_validation_service_ray.pipelines.queries import ORACLE_SQL
+    from mtb_validation_service_ray.pipelines.queries import (
+        ORACLE_SQL,
+        ensure_image_oracle_inputs,
+    )
 
+    # the image oracles read deterministic /tmp fixture parquet — make
+    # sure it exists before DuckDB does, regardless of run order
+    ensure_image_oracle_inputs()
     return dict(ORACLE_SQL)

@@ -1123,20 +1123,29 @@ def q_tdigest_value_quantiles(sf_dir: str):
 _IMAGE_FIXTURE_ROWS = 1500
 
 
+def _image_fixture_dirname(n: int = _IMAGE_FIXTURE_ROWS, seed: int = 42) -> str:
+    """Pure path computation — safe at import time (no generation)."""
+    return os.path.join(tempfile.gettempdir(), f"mtbray_images_v3_n{n}_s{seed}")
+
+
 @functools.lru_cache(maxsize=4)
 def _image_fixture_dir(n: int = _IMAGE_FIXTURE_ROWS, seed: int = 42) -> str:
     """Deterministic image table synthesized once per process under
-    /tmp (BASELINE.json input_hint shape; no external data)."""
+    /tmp (BASELINE.json input_hint shape; no external data).  Parts are
+    written tmp-then-rename so a concurrent first-time builder never
+    exposes a truncated file."""
     import pyarrow.parquet as pq
 
-    d = os.path.join(tempfile.gettempdir(), f"mtbray_images_v3_n{n}_s{seed}")
+    d = _image_fixture_dirname(n, seed)
     marker = os.path.join(d, "_complete")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
         table = make_image_rows(0, n, seed=seed, total=n, n_partitions=8)
         for pid in range(8):
             part = table.filter(pc.equal(table.column(PARTITION_COL), pid))
-            pq.write_table(part, os.path.join(d, f"part-{pid}.parquet"))
+            tmp = os.path.join(d, f".part-{pid}.parquet.tmp")
+            pq.write_table(part, tmp)
+            os.replace(tmp, os.path.join(d, f"part-{pid}.parquet"))
         with open(marker, "w") as f:
             f.write("ok")
     return d
@@ -1278,14 +1287,21 @@ def q_image_features(sf_dir: str):
 _CORRUPT_FIXTURE_ROWS = 1500
 
 
+def _corrupt_fixture_pathname(n: int = _CORRUPT_FIXTURE_ROWS, seed: int = 42) -> str:
+    """Pure path computation — safe at import time (no generation)."""
+    return os.path.join(
+        tempfile.gettempdir(), f"mtbray_corrupt_v4_n{n}_s{seed}", "images.parquet"
+    )
+
+
 @functools.lru_cache(maxsize=2)
 def _corrupt_fixture_path(n: int = _CORRUPT_FIXTURE_ROWS, seed: int = 42) -> str:
     import pyarrow.parquet as pq
 
     from ..sources.fixtures import corrupted_fixture
 
-    d = os.path.join(tempfile.gettempdir(), f"mtbray_corrupt_v4_n{n}_s{seed}")
-    path = os.path.join(d, "images.parquet")
+    path = _corrupt_fixture_pathname(n, seed)
+    d = os.path.dirname(path)
     if not os.path.exists(path):
         os.makedirs(d, exist_ok=True)
         c = corrupted_fixture(n, seed=seed)
@@ -1296,10 +1312,13 @@ def _corrupt_fixture_path(n: int = _CORRUPT_FIXTURE_ROWS, seed: int = 42) -> str
 
 
 def ensure_image_oracle_inputs() -> None:
-    """Idempotent: make sure the corrupted-fixture parquet the image
-    oracles read exists (called from ``oracle_sql()`` so the DuckDB side
-    never races the Ray side)."""
+    """Idempotent: make sure BOTH fixture parquets the image oracles
+    read exist (called from ``__ray_entry__.oracle_sql()`` and the
+    checker so the DuckDB side never races the Ray side; the oracle SQL
+    strings themselves embed only computed paths, so importing this
+    module generates nothing)."""
     _corrupt_fixture_path()
+    _image_fixture_dir()
 
 
 def _image_meta_violations(sf_dir: str) -> rd.Dataset:
@@ -1365,7 +1384,7 @@ def _image_meta_oracle_union() -> str:
     from ..sources.fixtures import CAPTION_KEYS
     from ..state.catalogs import caption_vocab, fmt_values
 
-    src = f"read_parquet('{_corrupt_fixture_path()}')"
+    src = f"read_parquet('{_corrupt_fixture_pathname()}')"
     fmts = ", ".join(f"'{v}'" for v in sorted(fmt_values()))
     keys = ", ".join(f"'{k}'" for k in sorted(CAPTION_KEYS))
     vocab = ", ".join(f"'{w}'" for w in sorted(caption_vocab()))
@@ -1683,21 +1702,25 @@ ORACLE_SQL["image_validate_meta"] = _image_meta_oracle_sql()
 ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()
 ORACLE_SQL["image_phash_dupgroups"] = f"""
     SELECT phash, MIN(image_id) AS keep_id, CAST(count(*) AS BIGINT) AS n
-    FROM read_parquet('{_image_fixture_dir()}/part-*.parquet')
+    FROM read_parquet('{_image_fixture_dirname()}/part-*.parquet')
     GROUP BY phash HAVING count(*) > 1"""
 ORACLE_SQL["image_stats_exact"] = f"""
-    WITH src AS (SELECT * FROM read_parquet('{_image_fixture_dir()}/part-*.parquet')),
+    WITH src AS (SELECT * FROM read_parquet('{_image_fixture_dirname()}/part-*.parquet')),
     per AS (
       SELECT CAST(partition_id AS INT) AS partition_id,
              CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_caption,
              CAST(MIN(w) AS DOUBLE) AS min_w, CAST(MAX(w) AS DOUBLE) AS max_w,
-             ROUND(SUM(CAST(w AS DOUBLE)) / count(*), 4) AS mean_w
+             ROUND(SUM(CAST(w AS DOUBLE))
+                   / GREATEST(count(*) - count(*) FILTER (WHERE w IS NULL), 1), 4)
+               AS mean_w
       FROM src GROUP BY partition_id),
     overall AS (
       SELECT -1 AS partition_id, CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_caption,
              CAST(MIN(w) AS DOUBLE) AS min_w, CAST(MAX(w) AS DOUBLE) AS max_w,
-             ROUND(SUM(CAST(w AS DOUBLE)) / count(*), 4) AS mean_w
+             ROUND(SUM(CAST(w AS DOUBLE))
+                   / GREATEST(count(*) - count(*) FILTER (WHERE w IS NULL), 1), 4)
+               AS mean_w
       FROM src)
     SELECT * FROM per UNION ALL SELECT * FROM overall"""

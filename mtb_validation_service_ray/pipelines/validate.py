@@ -270,22 +270,17 @@ def run_validation_fused(
         tail_v = None
         if marker_tabs:
             mt = pa.concat_tables(marker_tabs)
-            heads: dict[int, str] = {}
             hrows = mt.filter(_pc.equal(mt.column("rule_id"), TAIL_HEAD_MARKER))
-            for pid, oid in zip(
+            heads = pos.fold_heads(
                 hrows.column(PARTITION_COL).to_pylist(),
                 hrows.column("record_id").to_pylist(),
-            ):
-                if pid is not None and (pid not in heads or oid < heads[pid]):
-                    heads[pid] = oid
+            )
             crows = mt.filter(_pc.equal(mt.column("rule_id"), TAIL_CAND_MARKER))
-            keep = [
-                heads.get(p) != o
-                for p, o in zip(
-                    crows.column(PARTITION_COL).to_pylist(),
-                    crows.column("record_id").to_pylist(),
-                )
-            ]
+            keep = pos.non_head_mask(
+                crows.column(PARTITION_COL).to_pylist(),
+                crows.column("record_id").to_pylist(),
+                heads,
+            )
             crows = crows.filter(pa.array(keep, pa.bool_())) if crows.num_rows else crows
             if crows.num_rows:
                 tail_v = violations_table(

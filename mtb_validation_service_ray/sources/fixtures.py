@@ -314,8 +314,10 @@ class Invalidators:
         Retargets to the first png row at/after ``row`` so the case is
         deterministic regardless of the fmt draw."""
         fmts = c.table.column("fmt").to_pylist()
-        while fmts[row] != "png" or row in c.touched_rows:
+        while row < len(fmts) and (fmts[row] != "png" or row in c.touched_rows):
             row += 1
+        if row >= len(fmts):  # no eligible row in a tiny fixture: skip
+            return
         c.table = _set_cell(c.table, row, "phash", None)
         c.golden.append(dict(record_id=cls._rid(c.table, row), rule_id="R-COND-FMT",
                              severity="error", path="/record/fmt/conditional"))
@@ -346,12 +348,14 @@ class Invalidators:
         for pid, rid_ in zip(pids, ids):
             if pid not in heads or rid_ < heads[pid]:
                 heads[pid] = rid_
-        while (
+        while row < len(fmts) and (
             fmts[row] != "raw"
             or ids[row] == heads[pids[row]]
             or row in c.touched_rows
         ):
             row += 1
+        if row >= len(fmts):  # no eligible row in a tiny fixture: skip
+            return
         c.table = _set_cell(c.table, row, "caption", None)
         c.table = _set_cell(c.table, row, "phash", None)
         rid = cls._rid(c.table, row)

@@ -524,6 +524,10 @@ def connected_components(
 
     Returns (id, cluster) with cluster = min id of the component."""
     if strategy == "auto":
+        if isinstance(pairs, rd.Dataset):
+            # pin once: the count gate and the chosen path must not
+            # each re-execute the upstream (verification) pipeline
+            pairs = pairs.materialize()
         n_pairs = (
             pairs.num_rows if isinstance(pairs, pa.Table) else pairs.count()
         )

@@ -38,11 +38,13 @@ _COMPACT_EVERY = 64  # received slices per incremental fold
 _SCHEMA_SENT: set[str] = set()
 
 
-# fractional CPU: reducers are mailbox actors (append + occasional
-# fold); a full core each would starve the routing map tasks on small
-# clusters — pools summing to every CPU deadlock the pipeline
-# (BASELINE.md "Performance decisions")
-@ray.remote(num_cpus=0.5)
+# ZERO reserved CPUs: reducers are mailbox actors (append + occasional
+# brief fold); any positive reservation can deadlock a small cluster —
+# e.g. 8 actors × 0.5 CPU on a 4-CPU session leaves nothing for the
+# routing map tasks, whose in-task ray.get then waits forever (pools
+# summing to every CPU deadlock the pipeline, BASELINE.md).  The folds
+# briefly oversubscribe instead, which is harmless.
+@ray.remote(num_cpus=0)
 class _ReduceActor:
     def __init__(self, key_cols: list[str], aggs: list[tuple[str, str]]):
         self.key_cols = key_cols
@@ -97,9 +99,11 @@ def hash_reduce(
     (``[("cnt", "sum"), ("pid", "min"), ...]``) through a bucket-actor
     hash exchange.  Returns a Dataset with one block per reducer."""
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     if num_actors is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
         num_actors = max(2, min(cpus // 2, 16))
+    # more reducers than cores only adds mailbox hops
+    num_actors = max(1, min(num_actors, max(cpus, 1)))
     actors = [
         _ReduceActor.remote(key_cols, list(aggs)) for _ in range(num_actors)
     ]

@@ -34,6 +34,28 @@ MESSAGE = "tail row (non-head of its partition) has neither caption nor phash"
 TAIL_COLUMNS = ["image_id", "caption", "phash", PARTITION_COL]
 
 
+def fold_heads(pids, oids) -> dict[int, str]:
+    """Fold per-batch partial heads into the global per-partition
+    minimum order key (null-safe: null pids/oids are skipped).  Shared
+    by the standalone pass below and the fused marker-row resolution
+    (pipelines/validate.py)."""
+    heads: dict[int, str] = {}
+    for pid, oid in zip(pids, oids):
+        if pid is None or oid is None:
+            continue
+        if pid not in heads or oid < heads[pid]:
+            heads[pid] = oid
+    return heads
+
+
+def non_head_mask(pids, oids, heads: dict[int, str]) -> list[bool]:
+    """True for candidates that are NOT their partition's head (rows
+    with a null pid have no head and count as tail)."""
+    return [
+        pid is None or heads.get(pid) != oid for pid, oid in zip(pids, oids)
+    ]
+
+
 def tail_either_violations(
     ds: rd.Dataset, *, order_col: str = "image_id"
 ) -> rd.Dataset:
@@ -85,17 +107,15 @@ def tail_either_violations(
         return rd.from_arrow(VIOLATION_SCHEMA.empty_table())
     t = pa.concat_tables(parts)
     head_rows = t.filter(pc.equal(t.column("is_head"), 1))
-    heads: dict[int, str] = {}
-    for pid, oid in zip(
+    heads = fold_heads(
         head_rows.column("pid").to_pylist(), head_rows.column("oid").to_pylist()
-    ):
-        if pid is not None and (pid not in heads or oid < heads[pid]):
-            heads[pid] = oid
+    )
     cand = t.filter(pc.equal(t.column("is_head"), 0))
-    pids = cand.column("pid").to_pylist()
-    oids = cand.column("oid").to_pylist()
     keep = np.array(
-        [heads.get(p) != o for p, o in zip(pids, oids)], dtype=bool
+        non_head_mask(
+            cand.column("pid").to_pylist(), cand.column("oid").to_pylist(), heads
+        ),
+        dtype=bool,
     ) if cand.num_rows else np.array([], dtype=bool)
     idx = pa.array(np.nonzero(keep)[0])
     from ..schema import VIOLATION_SCHEMA

@@ -136,6 +136,10 @@ def cosine_near_dups(
 
     Always returns a (lazy) Dataset of ``(id_a, id_b, cosine)``."""
     if strategy == "auto":
+        # pin once: the count gate and the chosen arm must not each
+        # re-execute the upstream pipeline (the broadcast arm alone
+        # consumes the input twice — matrix collect + pair stream)
+        ds = ds.materialize()
         strategy = "broadcast" if ds.count() <= broadcast_max_rows else "lsh"
     if strategy == "broadcast":
         rows = []

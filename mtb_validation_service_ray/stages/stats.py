@@ -40,6 +40,10 @@ from ..functions.sketches import (
 )
 from ..schema import PARTITION_COL, VIOLATION_SCHEMA, violations_table
 
+# bucket for rows whose partition_id is NULL (-1 is reserved for the
+# global merged row in stats_report)
+NULL_PID_BUCKET = -2
+
 DEFAULT_NUMERIC_COLS = ("w", "h")
 DEFAULT_ID_COL = "image_id"
 DEFAULT_EDGES = {
@@ -151,10 +155,11 @@ class StatsPass:
             pid_col = batch.column(PARTITION_COL)
             if pid_col.null_count:
                 # null pids would coerce to float NaN in to_numpy and
-                # crash int(pid); route them to the -1 sentinel bucket
+                # crash int(pid); route them to the -2 sentinel bucket
+                # (-1 is the GLOBAL merged row stats_report emits)
                 import pyarrow.compute as pc
 
-                pid_col = pc.fill_null(pid_col, -1)
+                pid_col = pc.fill_null(pid_col, NULL_PID_BUCKET)
             pids = pid_col.to_numpy(zero_copy_only=False)
             out_pid, out_n, out_sk = [], [], []
             for pid in np.unique(pids):
@@ -176,7 +181,7 @@ class StatsPass:
         partial = self._fold(batch)
         return pa.table(
             {
-                PARTITION_COL: pa.array([-1], pa.int32()),
+                PARTITION_COL: pa.array([NULL_PID_BUCKET], pa.int32()),
                 "n_rows": pa.array([partial.n_rows], pa.int64()),
                 "sketch": pa.array([pickle.dumps(partial)], pa.binary()),
             },

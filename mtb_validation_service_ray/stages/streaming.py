@@ -91,7 +91,14 @@ class SessionShard:
                         s0, last, n = state
                         if segs and segs[0][0] - last <= self.gap_us:
                             first = segs[0]
-                            segs[0] = (s0, first[1], n + first[2])
+                            # an in-gap out-of-order event (allowed
+                            # lateness > 0) must never move the session
+                            # end backwards
+                            segs[0] = (
+                                min(s0, first[0]),
+                                max(last, first[1]),
+                                n + first[2],
+                            )
                         else:
                             closed.append((str(key), s0, last, n))
                     for seg in segs[:-1]:

@@ -118,5 +118,5 @@ def test_stats_pass_null_partition_id():
     )
     out = StatsPass()(batch)
     pids = sorted(out.column("partition_id").to_pylist())
-    assert pids == [-1, 0]
+    assert pids == [-2, 0]  # -2 = null-pid bucket (-1 is the global row)
     assert sum(out.column("n_rows").to_pylist()) == 3
