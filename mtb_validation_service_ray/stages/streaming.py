@@ -47,7 +47,10 @@ def _empty_sessions() -> pa.Table:
     return SESSION_SCHEMA.empty_table()
 
 
-@ray.remote(num_cpus=0.5)
+# zero reserved CPUs: shard actors are mailbox state holders (brief
+# vectorized folds); positive reservations can starve the upstream
+# read/sort tasks on small clusters (see stages/hashreduce.py)
+@ray.remote(num_cpus=0)
 class SessionShard:
     """Owns the open-session state for its slice of the key space."""
 
