@@ -53,6 +53,16 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _pool_size(cap: int = 4) -> int:
+    """Fixed actor-pool size that can NEVER cover every CPU: a pool
+    summing to the whole cluster starves the read tasks and deadlocks
+    the pipeline (a pinned concurrency=4 hung every dedup query on a
+    4-CPU session).  Capped because pool spawn cost dominates these
+    small bench inputs beyond a handful of actors."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, min(cap, cpus - 1, cpus // 2))
+
+
 def _round_away(arr, digits: int):
     """Round half away from zero — DuckDB ``ROUND`` semantics (numpy and
     Python round are half-to-even; mixing them breaks value hashes)."""
@@ -993,7 +1003,7 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     from ..stages.dedup import verify_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=4)
+    cands = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=_pool_size())
     verified = _as_table(verify_jaccard_pairs(cands, ds, threshold=0.5))
     if verified.num_rows == 0:
         return pa.table(
@@ -1012,7 +1022,7 @@ def q_dedup_ngram_jaccard(sf_dir: str):
 def q_dedup_minhash_docs(sf_dir: str):
     """MinHash-LSH candidate pairs over documents (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=4)
+    out = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=_pool_size())
 
     def cast(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1029,7 +1039,7 @@ def q_dedup_minhash_docs(sf_dir: str):
 def q_dedup_simhash_docs(sf_dir: str):
     """SimHash near-dup candidates over documents (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = simhash_candidates(ds, id_col="doc_id", max_hamming=3, concurrency=4)
+    out = simhash_candidates(ds, id_col="doc_id", max_hamming=3, concurrency=_pool_size())
 
     def cast(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1051,7 +1061,7 @@ def q_dedup_duplicate_clusters(sf_dir: str):
     from ..stages.dedup import connected_components, verify_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cands = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=4)
+    cands = minhash_lsh_candidates(ds, id_col="doc_id", concurrency=_pool_size())
     verified = verify_jaccard_pairs(cands, ds, threshold=0.5)
     clusters = connected_components(verified)
     if clusters.num_rows == 0:
@@ -1171,7 +1181,7 @@ def q_image_stats_profile(sf_dir: str):
     """Per-partition stats/sketch profile of the image table."""
     d = _image_fixture_dir()
     meta = rd.read_parquet(d, columns=["image_id", "w", "h", "caption", PARTITION_COL])
-    return stats_report(profile_stats(meta, concurrency=(1, 4)))
+    return stats_report(profile_stats(meta, concurrency=_pool_size()))
 
 
 def q_image_stats_exact(sf_dir: str):
@@ -1182,7 +1192,7 @@ def q_image_stats_exact(sf_dir: str):
     (partition_id = -1)."""
     d = _image_fixture_dir()
     meta = rd.read_parquet(d, columns=["image_id", "w", "h", "caption", PARTITION_COL])
-    report = stats_report(profile_stats(meta, concurrency=2))
+    report = stats_report(profile_stats(meta, concurrency=_pool_size(2)))
     cols = {
         "partition_id": report.column(PARTITION_COL).cast(pa.int32()),
         "n_rows": report.column("n_rows").cast(pa.int64()),
@@ -1205,7 +1215,7 @@ def q_image_embedding_dedup(sf_dir: str):
 
     d = _image_fixture_dir()
     ds = rd.read_parquet(d, columns=["image_id", "bytes", "w", "h", "fmt"]).limit(600)
-    feats = image_features(ds, concurrency=(1, 4))
+    feats = image_features(ds, concurrency=_pool_size())
 
     def feature_hash(batch: pa.Table) -> pa.Table:
         emb = batch.column("embedding")
@@ -1267,7 +1277,7 @@ def q_image_features(sf_dir: str):
 
     d = _image_fixture_dir()
     ds = rd.read_parquet(d, columns=["image_id", "bytes", "w", "h", "fmt"]).limit(200)
-    feats = image_features(ds, concurrency=(1, 4))
+    feats = image_features(ds, concurrency=_pool_size())
 
     def summarize(batch: pa.Table) -> pa.Table:
         dims = pc.list_value_length(batch.column("embedding"))
@@ -1330,7 +1340,7 @@ def _image_meta_violations(sf_dir: str) -> rd.Dataset:
 
     return run_row_pass(
         ds, default_image_ruleset(),
-        {"caption_refs": frozenset(CAPTION_KEYS)}, concurrency=(1, 4),
+        {"caption_refs": frozenset(CAPTION_KEYS)}, concurrency=_pool_size(),
     )
 
 

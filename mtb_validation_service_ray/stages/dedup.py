@@ -256,7 +256,10 @@ def minhash_lsh_candidates(
     if concurrency is None:
         import ray
 
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # never cover every CPU: a pool summing to the cluster starves
+        # the read tasks and deadlocks the pipeline
+        concurrency = max(1, min(cpus // 2, cpus - 1))
     band_rows = ds.map_batches(
         MinHashStage,
         batch_format="pyarrow",
@@ -722,7 +725,10 @@ def simhash_candidates(
     if concurrency is None:
         import ray
 
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # never cover every CPU: a pool summing to the cluster starves
+        # the read tasks and deadlocks the pipeline
+        concurrency = max(1, min(cpus // 2, cpus - 1))
     with_hash = ds.map_batches(
         SimHashStage,
         batch_format="pyarrow",

@@ -175,7 +175,10 @@ def image_features(
     if concurrency is None:
         import ray
 
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # never cover every CPU: a pool summing to the cluster starves
+        # the read tasks and deadlocks the pipeline
+        concurrency = max(1, min(cpus // 2, cpus - 1))
     return ds.map_batches(
         ImageFeatureStage,
         batch_format="pyarrow",
@@ -197,7 +200,10 @@ def resize_images(
     if concurrency is None:
         import ray
 
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # never cover every CPU: a pool summing to the cluster starves
+        # the read tasks and deadlocks the pipeline
+        concurrency = max(1, min(cpus // 2, cpus - 1))
     return ds.map_batches(
         ImageResizeStage,
         batch_format="pyarrow",

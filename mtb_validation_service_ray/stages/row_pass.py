@@ -62,7 +62,10 @@ def run_row_pass(
         # fixed pool sized to the cluster (autoscaling ramps too slowly
         # for bounded jobs); callers doing multi-pass pipelines pass an
         # explicit budget
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # never cover every CPU: a pool summing to the cluster starves
+        # the read tasks and deadlocks the pipeline
+        concurrency = max(1, min(cpus // 2, cpus - 1))
     return ds.map_batches(
         RowPass,
         batch_format="pyarrow",

@@ -217,7 +217,10 @@ def profile_stats(
     if concurrency is None:
         import ray
 
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # never cover every CPU: a pool summing to the cluster starves
+        # the read tasks and deadlocks the pipeline
+        concurrency = max(1, min(cpus // 2, cpus - 1))
     partials = ds.map_batches(
         StatsPass,
         batch_format="pyarrow",
