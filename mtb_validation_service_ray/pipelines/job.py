@@ -196,6 +196,24 @@ def run_job(
     # union everything, materialize once (violations are rare, result is
     # small), then reuse for verdicts + sinks without re-running passes
     rowlocal_dir = os.path.join(out_dir, "violations", "rowlocal")
+    # reconcile chunk dirs against manifests: a crash window or a resume
+    # with different chunking/ruleset can leave chunk=<cid> dirs whose
+    # cid no manifest (with the CURRENT ruleset hash) accounts for —
+    # reading them would double-emit their violations.  Anything
+    # unaccounted is pruned; its input files were either re-processed
+    # under new cids above or belong to an invalidated rule set.
+    valid_cids = {
+        cid
+        for cid, m in ckpt.load_manifests(out_dir).items()
+        if m.get("ruleset_hash") == rs_hash
+    }
+    if os.path.isdir(rowlocal_dir):
+        for name in os.listdir(rowlocal_dir):
+            if (
+                name.startswith("chunk=")
+                and name[len("chunk="):] not in valid_cids
+            ):
+                shutil.rmtree(os.path.join(rowlocal_dir, name), ignore_errors=True)
     # select_columns drops the hive-style `chunk=` partition column the
     # parquet reader infers from the checkpoint layout
     all_violations = rd.read_parquet(rowlocal_dir).select_columns(

@@ -26,12 +26,30 @@ FATAL_RANK = SEVERITY_RANK["fatal"]
 
 _SEV_RANK_ARR = pa.array(["info", "warning", "error", "fatal"], pa.string())
 
+# null record ids must survive the shuffle as ONE group, but Ray's
+# sort-based groupby cannot order None against strings — encode through
+# the exchange, decode at finalize (the driver fast path groups nulls
+# natively via factorize(use_na_sentinel=False))
+NULL_ID_SENTINEL = "\x00__null_record_id__"
+
+
+def _encode_null_ids(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    return pc.fill_null(col, NULL_ID_SENTINEL)
+
+
+def _decode_null_ids(col):
+    return pc.if_else(
+        pc.equal(col, NULL_ID_SENTINEL), pa.scalar(None, pa.string()), col
+    )
+
 
 def _id_rows(batch: pa.Table) -> pa.Table:
     n = len(batch)
     return pa.table(
         {
-            "record_id": batch.column("image_id").cast(pa.string()),
+            "record_id": _encode_null_ids(
+                batch.column("image_id").cast(pa.string())
+            ),
             "rank": pa.array([-1] * n, pa.int8()),
             "cnt": pa.array([0] * n, pa.int64()),
             PARTITION_COL: (
@@ -48,7 +66,9 @@ def _violation_rows(batch: pa.Table) -> pa.Table:
     rank = pc.index_in(batch.column("severity"), value_set=_SEV_RANK_ARR).cast(pa.int8())
     return pa.table(
         {
-            "record_id": batch.column("record_id").cast(pa.string()),
+            "record_id": _encode_null_ids(
+                batch.column("record_id").cast(pa.string())
+            ),
             "rank": rank,
             "cnt": pa.array([1] * n, pa.int64()),
             PARTITION_COL: batch.column(PARTITION_COL).cast(pa.int32()),
@@ -66,7 +86,7 @@ def _finalize(batch: pa.Table) -> pa.Table:
     )
     return pa.table(
         {
-            "record_id": batch.column("record_id"),
+            "record_id": _decode_null_ids(batch.column("record_id")),
             "verdict": verdict,
             "n_issues": batch.column("n_issues").cast(pa.int64()),
             "accepted": pc.less(rank, FATAL_RANK),
@@ -147,10 +167,13 @@ def _driver_reduce(
                     rank[sev == s] = r
                 rank_chunks.append(rank)
                 isid_chunks.append(np.zeros(n, dtype=bool))
-            pid = b.column(PARTITION_COL).to_numpy(zero_copy_only=False)
-            pid_chunks.append(
-                np.where(pd.isna(pid), -1, pid).astype(np.int64)
-            )
+            if PARTITION_COL in b.column_names:
+                pid = b.column(PARTITION_COL).to_numpy(zero_copy_only=False)
+                pid_chunks.append(
+                    np.where(pd.isna(pid), -1, pid).astype(np.int64)
+                )
+            else:  # partition-less inputs are valid (distributed path parity)
+                pid_chunks.append(np.full(n, -1, dtype=np.int64))
         return True
 
     if not _pull(ids, True) or not _pull(violations, False):
@@ -166,7 +189,11 @@ def _driver_reduce(
     rank = np.concatenate(rank_chunks)
     is_id = np.concatenate(isid_chunks)
     pid = np.concatenate(pid_chunks)
-    codes, uniq = pd.factorize(rid, sort=False)
+    # use_na_sentinel=False: a NULL record id must be its own group
+    # (sentinel -1 would alias np.add.at/maximum.at onto the LAST real
+    # record, corrupting its verdict) — matches the distributed
+    # groupby, which also groups nulls together
+    codes, uniq = pd.factorize(rid, sort=False, use_na_sentinel=False)
     n = len(uniq)
     max_rank = np.full(n, -1, dtype=np.int8)
     np.maximum.at(max_rank, codes, rank)
@@ -177,15 +204,24 @@ def _driver_reduce(
     pmax = np.full(n, -1, dtype=np.int64)
     np.maximum.at(pmax, codes, pid)
 
-    uq_rank = SEVERITY_RANK["error"]
+    # single source of truth with the distributed path: the uniqueness
+    # escalation rank comes from the rule's declared severity
+    uq_rank = SEVERITY_RANK[UQ_SEVERITY]
     dup = n_occ > 1
     final_rank = np.maximum(max_rank, np.where(dup, uq_rank, -1).astype(np.int8))
     n_iss = n_iss + dup.astype(np.int64)
-    verdict_names = np.array(["pass", "info", "warning", "error", "fatal"], dtype=object)
+    verdict_names = np.array(
+        [RANK_TO_VERDICT[r] for r in range(-1, 4)], dtype=object
+    )
     pid_arr = pd.array(np.where(pmax < 0, pd.NA, pmax), dtype="Int32")
+    # factorize's uniques may contain NaN/None for the null-id group
+    uniq_list = [
+        None if u is None or (isinstance(u, float) and np.isnan(u)) else u
+        for u in uniq
+    ]
     verdict_tbl = pa.table(
         {
-            "record_id": pa.array(uniq.astype(object), pa.string()),
+            "record_id": pa.array(uniq_list, pa.string()),
             "verdict": pa.array(verdict_names[final_rank + 1], pa.string()),
             "n_issues": pa.array(n_iss, pa.int64()),
             "accepted": pa.array(final_rank < FATAL_RANK),
@@ -198,7 +234,7 @@ def _driver_reduce(
     if dup.any():
         d_idx = np.nonzero(dup)[0]
         uq_tbl = violations_table(
-            pa.array(uniq[d_idx].astype(object), pa.string()),
+            pa.array([uniq_list[i] for i in d_idx], pa.string()),
             UQ_RULE_ID, UQ_SEVERITY, UQ_PATH,
             [f"image_id occurs {int(k)} times" for k in n_occ[d_idx]],
             pa.array(
@@ -287,7 +323,9 @@ def verdicts_with_unique(
         from ..schema import violations_table
 
         return violations_table(
-            dup.column("record_id"),
+            _decode_null_ids(dup.column("record_id").combine_chunks()
+                             if isinstance(dup.column("record_id"), pa.ChunkedArray)
+                             else dup.column("record_id")),
             UQ_RULE_ID, UQ_SEVERITY, UQ_PATH,
             [f"image_id occurs {n} times" for n in dup.column("n_occ").to_pylist()],
             dup.column("pid").cast(pa.int32()),
@@ -307,6 +345,12 @@ def partition_report(verdict_ds: rd.Dataset) -> pa.Table:
         verdict_ds.groupby([PARTITION_COL, "verdict"])
         .count()
         .to_pandas()
+    )
+    # records without a partition must not vanish from the report
+    # (pivot_table drops NaN index rows): bucket them as -2, the same
+    # unpartitioned sentinel the stats pass uses
+    counts[PARTITION_COL] = (
+        counts[PARTITION_COL].fillna(-2).astype("int64")
     )
     pivot = (
         counts.pivot_table(

@@ -28,7 +28,15 @@ except ImportError:
 
 
 def dataset_uri_kind(uri: str) -> str:
-    if uri.endswith(".lance") and HAVE_LANCE:
+    if uri.endswith(".lance"):
+        if not HAVE_LANCE:
+            # failing loud beats silently reading/writing parquet into a
+            # .lance-named path that a lance-enabled environment would
+            # then refuse to open
+            raise ImportError(
+                f"{uri!r} is a Lance URI but no lance/pylance wheel is "
+                "installed (SURVEY.md §7.1); install it or point at parquet"
+            )
         return "lance"
     return "parquet"
 
@@ -58,9 +66,18 @@ def list_fragments(uri: str) -> list[str]:
     Lance datasets expose fragments natively; on the Parquet path a
     fragment is one ``*.parquet`` file."""
     if dataset_uri_kind(uri) == "lance":  # pragma: no cover
-        import lance
-
-        return [str(f.fragment_id) for f in lance.dataset(uri).get_fragments()]
+        # Lance fragment ids are NOT readable URIs, and every caller of
+        # list_fragments treats fragments as independently readable
+        # resume units (job.py chunks them into read_table calls).  A
+        # correct Lance resume unit needs fragment-scoped reads
+        # (read_lance with fragment filters) end-to-end — honest
+        # NotImplementedError until the wheel exists to test against,
+        # instead of returning ids that crash downstream.
+        raise NotImplementedError(
+            "Lance fragment-granular resume is not wired up yet "
+            "(ROADMAP #1); read_table/write_table on whole Lance "
+            "datasets work once the wheel is installed"
+        )
     if os.path.isdir(uri):
         return sorted(glob.glob(os.path.join(uri, "**", "*.parquet"), recursive=True))
     return [uri]

@@ -46,8 +46,8 @@ _LOOP_KINDS = ("magic_fmt", "pixel_integrity")
 
 
 class DecodePass:
-    def __init__(self, ruleset: RuleSet):
-        self.ctx = RuleContext(ruleset)
+    def __init__(self, ruleset: RuleSet, broadcast: dict | None = None):
+        self.ctx = RuleContext(ruleset, broadcast=broadcast)
         self.loop_rules = [r for r in ruleset.rules if r.kind in _LOOP_KINDS]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -67,6 +67,11 @@ class DecodePass:
         gated by the shared ``fired`` masks; returns violation tables."""
         n = len(batch)
         ids = batch.column("image_id").to_pylist()
+        # one bulk copy of the payloads: on the designed hot path (valid
+        # rows) BOTH loop rules touch every payload, so a single
+        # to_pylist beats per-row Arrow scalar fetches (which would copy
+        # each payload once per rule); only heavily-corrupted batches
+        # (most rows gated out) would favor lazy access
         payloads = batch.column("bytes").to_pylist()
         ws = batch.column("w").to_pylist()
         hs = batch.column("h").to_pylist()

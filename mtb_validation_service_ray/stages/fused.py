@@ -81,8 +81,9 @@ class FusedValidationPass(DecodePass):
         resolved = {}
         for k, v in (broadcast or {}).items():
             resolved[k] = ray.get(v) if isinstance(v, ray.ObjectRef) else v
-        super().__init__(ruleset)
-        self.ctx = RuleContext(ruleset, broadcast=resolved)
+        # one RuleContext build (regex compile + value-set arrays happen
+        # once per actor) — DecodePass accepts the broadcast directly
+        super().__init__(ruleset, broadcast=resolved)
         if isinstance(annotation_keys, ray.ObjectRef):
             annotation_keys = ray.get(annotation_keys)
         if annotation_keys is not None and not isinstance(annotation_keys, pa.Array):
@@ -156,16 +157,10 @@ class FusedValidationPass(DecodePass):
                 )
         if self.emit_id_rows:
             out.append(
-                pa.table(
-                    {
-                        "record_id": batch.column("image_id").cast(pa.string()),
-                        "rule_id": pa.array([ID_MARKER] * n, pa.string()),
-                        "severity": pa.array([""] * n, pa.string()),
-                        "path": pa.array([""] * n, pa.string()),
-                        "message": pa.array([""] * n, pa.string()),
-                        PARTITION_COL: pids.cast(pa.int32()),
-                    },
-                    schema=VIOLATION_SCHEMA,
+                _marker_rows(
+                    batch.column("image_id").cast(pa.string()),
+                    ID_MARKER,
+                    pids.cast(pa.int32()),
                 )
             )
         if not out:

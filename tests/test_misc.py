@@ -163,3 +163,90 @@ def test_run_job_partition_cardinality(tmp_path):
     )
     card = v[v.rule_id == "R-CARD-PART"]
     assert list(card.record_id) == ["partition=2"]
+
+
+def test_verdicts_null_record_id_paths_agree():
+    """A null image_id must form its own verdict group — the driver
+    fast path previously aliased it onto the LAST factorized record
+    (corrupting that record's verdict) via the factorize -1 sentinel."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mtb_validation_service_ray.pipelines.verdicts import verdicts_with_unique
+
+    ids = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(["a", None, "b", None], pa.string()),
+                "partition_id": pa.array([0, 0, 1, 1], pa.int32()),
+            }
+        )
+    )
+    viol = rd.from_arrow(
+        pa.table(
+            {
+                "record_id": pa.array([None], pa.string()),
+                "rule_id": ["R-PR-ID"],
+                "severity": ["error"],
+                "path": ["/record/image_id"],
+                "message": ["image_id is missing"],
+                "partition_id": pa.array([0], pa.int32()),
+            }
+        )
+    )
+    outs = {}
+    for strategy in ("driver", "shuffle"):
+        v, uq = verdicts_with_unique(ids, viol, strategy=strategy)
+        df = v.to_pandas().sort_values("record_id", na_position="last").reset_index(drop=True)
+        outs[strategy] = df
+        # 'a' and 'b' are clean singletons: verdict pass, no issues
+        clean = df[df.record_id.isin(["a", "b"])]
+        assert set(clean.verdict) == {"pass"}, (strategy, df)
+        assert set(clean.n_issues) == {0}
+        # the two null ids group together: duplicate + the error row
+        null_row = df[df.record_id.isna()]
+        assert len(null_row) == 1
+        assert null_row.verdict.iloc[0] == "error"
+        assert int(null_row.n_issues.iloc[0]) == 2  # R-PR-ID + R-UQ-ID
+    assert outs["driver"].verdict.tolist() == outs["shuffle"].verdict.tolist()
+
+
+def test_run_job_rechunk_resume_no_double_emit(tmp_path):
+    """A crash window can orphan a chunk dir; a resume with DIFFERENT
+    chunking must prune it instead of double-emitting its violations."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from mtb_validation_service_ray.pipelines.job import run_job
+    from mtb_validation_service_ray.sources.fixtures import corrupted_fixture
+
+    c = corrupted_fixture(400, n_partitions=4)
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for pid in range(4):
+        part = c.table.filter(pc.equal(c.table.column("partition_id"), pid))
+        pq.write_table(part, str(src / f"part-{pid}.parquet"))
+    out = str(tmp_path / "out")
+
+    r1 = run_job(str(src), out, chunk_files=2, with_stats=False, concurrency=1)
+    # simulate the crash window under the OLD chunking: drop every
+    # manifest but keep all chunk dirs on disk
+    import os, shutil
+
+    mdir = os.path.join(out, "_manifests")
+    for name in os.listdir(mdir):
+        os.remove(os.path.join(mdir, name))
+    # resume with DIFFERENT chunking → new chunk ids; stale dirs must go
+    r2 = run_job(str(src), out, chunk_files=1, with_stats=False, concurrency=1)
+    assert r2.n_violations == r1.n_violations
+    v = pd.concat(
+        [
+            pq.read_table(os.path.join(out, "violations", "all", f)).to_pandas()
+            for f in os.listdir(os.path.join(out, "violations", "all"))
+            if f.endswith(".parquet")
+        ]
+    )
+    # each golden violation appears exactly once
+    per_rule = v.groupby(["record_id", "rule_id"]).size()
+    assert (per_rule == 1).all(), per_rule[per_rule > 1]
