@@ -202,11 +202,19 @@ def run_job(
     # reading them would double-emit their violations.  Anything
     # unaccounted is pruned; its input files were either re-processed
     # under new cids above or belong to an invalidated rule set.
+    manifests = ckpt.load_manifests(out_dir)
     valid_cids = {
-        cid
-        for cid, m in ckpt.load_manifests(out_dir).items()
-        if m.get("ruleset_hash") == rs_hash
+        cid for cid, m in manifests.items() if m.get("ruleset_hash") == rs_hash
     }
+    # stale manifests (other ruleset hash) must go WITH their pruned
+    # chunk dirs: leaving them on disk would let a later run under the
+    # ORIGINAL ruleset claim those files as completed while their
+    # violation output no longer exists (silent under-reporting)
+    for cid in set(manifests) - valid_cids:
+        try:
+            os.remove(ckpt.manifest_path(out_dir, cid))
+        except OSError:
+            pass
     if os.path.isdir(rowlocal_dir):
         for name in os.listdir(rowlocal_dir):
             if (

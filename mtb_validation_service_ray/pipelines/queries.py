@@ -893,20 +893,20 @@ def q_events_sessions_per_user(sf_dir: str):
 
 
 def q_events_sessions_streaming(sf_dir: str):
-    """Streaming variant of the sessionizer: the events log is replayed
-    in event-time order through the keyed shard-actor stage
-    (stages/streaming.py — unbounded-log semantics with watermarks) and
-    rolled up per user; hash-checked against the same SQL
-    window-function oracle as the offline path."""
-    from ..stages.streaming import StreamingSessionizer
+    """Streaming variant of the sessionizer: the events log streams
+    through N parallel feeder tasks straight into the keyed shard-actor
+    stage (stages/streaming.py — unbounded-log semantics; the driver
+    never touches a batch) and is rolled up per user; hash-checked
+    against the same SQL window-function oracle as the offline path.
+    The interval fold is order-independent, so no arrival-order sort is
+    needed and the result is deterministic despite parallel ingest."""
+    from ..stages.streaming import stream_sessions_distributed
 
-    ds = _read(sf_dir, "events", ["user_id", "ts"]).sort("ts")
-    s = StreamingSessionizer(
-        key_col="user_id", ts_col="ts", gap_seconds=3600.0, num_shards=4
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    res = stream_sessions_distributed(
+        ds, key_col="user_id", ts_col="ts", gap_seconds=3600.0,
+        num_shards=4, num_feeders=4,
     )
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        s.feed(b)
-    res = s.finish()
     t = res.sessions
     counts = t.group_by(["key"]).aggregate([([], "count_all")])
     return pa.table(

@@ -158,9 +158,24 @@ def hash_reduce(
         out = rd.from_arrow_refs(refs)
         ray.wait(refs, num_returns=len(refs))  # materialized before kill
     else:
-        out = rd.from_arrow(
-            pa.table({c: pa.array([], pa.string()) for c in key_cols})
-        )
+        # fully-empty input: no batch ever reached a reducer, so no
+        # schema was learned.  The empty result must still be typed and
+        # carry BOTH the key and the aggregate columns, or downstream
+        # column reads (e.g. uniqueness' `cnt`) KeyError on empty data.
+        try:
+            in_schema = ds.schema()
+            base = getattr(in_schema, "base_schema", None) or pa.schema(
+                [pa.field(n, t) for n, t in zip(in_schema.names, in_schema.types)]
+            )
+        except Exception:
+            base = None
+        fields = []
+        for name in key_cols + [c for c, _ in aggs]:
+            if base is not None and name in base.names:
+                fields.append(base.field(name))
+            else:
+                fields.append(pa.field(name, pa.string()))
+        out = rd.from_arrow(pa.schema(fields).empty_table())
     for a in actors:
         ray.kill(a)
     return out

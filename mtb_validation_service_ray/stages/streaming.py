@@ -9,17 +9,41 @@ API cannot express (state must survive between batches of a never-
 ending stream).  Per the brief's escalation ladder this is the
 deliberate raw-actor design: N ``@ray.remote`` shard actors each own
 ``hash(key) % N`` of the key space (the same partitioning contract as
-stages/hashreduce.py), the driver streams batches and routes vectorized
-slices, and a watermark (max event time − allowed lateness) closes
-sessions whose gap has expired.
+stages/hashreduce.py).
+
+Two ingest frontends share the shard actors:
+
+* ``StreamingSessionizer`` — driver-fed bounded-log replay harness
+  (``feed`` batches in arrival order, then ``finish``).  Deterministic
+  late-event accounting; good for tests and replays.
+* ``stream_sessions_distributed`` — the scale path: ``M`` parallel
+  feeder TASKS each consume a ``streaming_split`` iterator and route
+  key-sliced batches DIRECTLY to the shard actors; the driver only
+  launches feeders and merges results.  A zero-CPU watermark actor
+  folds per-feeder progress (watermark = min over feeders of local max
+  event time − allowed lateness, the multi-channel watermark rule) so
+  shard state stays bounded on an unbounded log.
+
+Session state is a per-key list of disjoint INTERVALS ``(start, last,
+n_events)`` pairwise separated by more than ``gap``.  New events merge
+by gap-chained interval union — an order-independent fold, so the
+result equals offline sessionization over the accepted events no
+matter how batches interleave across feeders (adding events to a set
+can only ever merge sessions, never split them).  This also fixes the
+cross-batch bug where an out-of-order event more than ``gap`` BEFORE an
+open session's start was glued onto it (ADVICE r2: gap=10s,
+lateness=600s, events t=1000s then t=500s must yield TWO sessions).
 
 Semantics (event-time):
 * rows with ``ts < watermark − gap`` at arrival are LATE: counted and
   side-channelled, never silently dropped;
-* a session closes when the watermark passes ``last_ts + gap``;
+* an interval closes when ``last < watermark − 2·gap`` — beyond that no
+  acceptable event (``ts ≥ watermark − gap``) can chain to it on either
+  side, so early emission can never disagree with offline results;
 * ``flush()`` closes all remaining sessions at end-of-stream;
-* given per-key event-time-ordered delivery, closed sessions equal the
-  offline ``windows.session_windows`` result (asserted in tests).
+* closed sessions over the ACCEPTED event set equal the offline
+  ``windows.session_windows`` result (asserted in tests, including
+  shuffled arrival orders).
 """
 
 from __future__ import annotations
@@ -27,7 +51,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -41,6 +64,8 @@ SESSION_SCHEMA = pa.schema(
         pa.field("n_events", pa.int64()),
     ]
 )
+
+_NEG_INF = -(1 << 62)
 
 
 def _empty_sessions() -> pa.Table:
@@ -57,79 +82,92 @@ class SessionShard:
     def __init__(self, key_col: str, ts_col: str, gap_seconds: float):
         self.key_col, self.ts_col = key_col, ts_col
         self.gap_us = int(gap_seconds * 1_000_000)
-        # key -> (session_start_us, last_ts_us, n_events)
-        self.open: dict[str, tuple[int, int, int]] = {}
+        # key -> sorted list of disjoint [start_us, last_us, n_events]
+        # intervals, pairwise separated by > gap
+        self.open: dict[str, list[list[int]]] = {}
         self.n_late = 0
+
+    def _merge(self, key: str, segs: list[list[int]]) -> None:
+        """Gap-chained interval union: order-independent, so arrival
+        order across batches/feeders cannot change the final result."""
+        ivs = sorted(self.open.get(key, []) + segs)
+        merged: list[list[int]] = []
+        for s0, last, n in ivs:
+            if merged and s0 - merged[-1][1] <= self.gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], last)
+                m[2] += n
+            else:
+                merged.append([s0, last, n])
+        self.open[key] = merged
+
+    def _close_expired(
+        self, watermark_us: int, closed: list[tuple[str, int, int, int]]
+    ) -> None:
+        # safe-close rule: any future ACCEPTED event has
+        # ts ≥ watermark − gap, and chains to an interval only within
+        # gap of either end — so last < watermark − 2·gap is untouchable
+        cutoff = watermark_us - 2 * self.gap_us
+        drop = []
+        for k, ivs in self.open.items():
+            keep = []
+            for iv in ivs:
+                if iv[1] < cutoff:
+                    closed.append((k, iv[0], iv[1], iv[2]))
+                else:
+                    keep.append(iv)
+            if keep:
+                self.open[k] = keep
+            else:
+                drop.append(k)
+        for k in drop:
+            del self.open[k]
 
     def on_batch(
         self, table: pa.Table, arrival_watermark_us: int, watermark_us: int
     ) -> pa.Table:
         """Fold one batch into the state; emit sessions closed by the
-        batch content or the advanced watermark.  Lateness is judged
-        against the watermark AT ARRIVAL (before this batch advanced
-        it) — a batch can never make its own events late."""
+        advanced watermark.  Lateness is judged against the watermark AT
+        ARRIVAL (before this batch advanced it) — a batch can never make
+        its own events late."""
         closed: list[tuple[str, int, int, int]] = []
         if table.num_rows:
             g = table.to_pandas()
             ts_us = g[self.ts_col].astype("datetime64[us]").astype("int64")
-            late = ts_us < (arrival_watermark_us - self.gap_us)
+            late = (ts_us < (arrival_watermark_us - self.gap_us)).to_numpy()
             self.n_late += int(late.sum())
-            g = g[~late.to_numpy()]
-            ts_us = ts_us[~late.to_numpy()]
+            g = g[~late]
+            ts_us = ts_us[~late]
             if len(g):
                 g = g.assign(_ts=ts_us).sort_values(
                     [self.key_col, "_ts"], kind="stable"
                 )
                 for key, sub in g.groupby(self.key_col, sort=False):
                     t = sub["_ts"].to_numpy()
-                    state = self.open.get(str(key))
-                    # in-batch session splits
+                    # in-batch session splits (t is sorted)
                     splits = np.nonzero(np.diff(t) > self.gap_us)[0]
                     bounds = np.concatenate(([0], splits + 1, [len(t)]))
                     segs = [
-                        (int(t[a]), int(t[b - 1]), int(b - a))
+                        [int(t[a]), int(t[b - 1]), int(b - a)]
                         for a, b in zip(bounds[:-1], bounds[1:])
                     ]
-                    if state is not None:
-                        s0, last, n = state
-                        if segs and segs[0][0] - last <= self.gap_us:
-                            first = segs[0]
-                            # an in-gap out-of-order event (allowed
-                            # lateness > 0) must never move the session
-                            # end backwards
-                            segs[0] = (
-                                min(s0, first[0]),
-                                max(last, first[1]),
-                                n + first[2],
-                            )
-                        else:
-                            closed.append((str(key), s0, last, n))
-                    for seg in segs[:-1]:
-                        closed.append((str(key), *seg))
-                    self.open[str(key)] = segs[-1] if segs else state
-        # watermark closes idle sessions
-        expired = [
-            k for k, (_, last, _) in self.open.items()
-            if last + self.gap_us < watermark_us
-        ]
-        for k in expired:
-            s0, last, n = self.open.pop(k)
-            closed.append((k, s0, last, n))
+                    self._merge(str(key), segs)
+        self._close_expired(watermark_us, closed)
         return self._to_table(closed)
 
     def advance(self, watermark_us: int) -> pa.Table:
         """Watermark-only tick for shards that received no rows this
         batch — idle sessions still expire."""
-        empty = pa.table(
-            {
-                self.key_col: pa.array([], pa.string()),
-                self.ts_col: pa.array([], pa.timestamp("us")),
-            }
-        )
-        return self.on_batch(empty, watermark_us, watermark_us)
+        closed: list[tuple[str, int, int, int]] = []
+        self._close_expired(watermark_us, closed)
+        return self._to_table(closed)
 
     def flush(self) -> pa.Table:
-        closed = [(k, *v) for k, v in sorted(self.open.items())]
+        closed = [
+            (k, iv[0], iv[1], iv[2])
+            for k, ivs in sorted(self.open.items())
+            for iv in ivs
+        ]
         self.open.clear()
         return self._to_table(closed)
 
@@ -161,10 +199,24 @@ class StreamResult:
     n_late: int
 
 
+def _default_num_shards() -> int:
+    return max(2, min(int(ray.cluster_resources().get("CPU", 8)) // 2, 8))
+
+
+def _route_batch(
+    batch: pa.Table, key_col: str, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    shard = (hash64(keys) % np.uint64(n)).astype(np.int64)
+    return shard, np.unique(shard)
+
+
 class StreamingSessionizer:
     """Driver-side coordinator: route event batches to shard actors and
     advance the watermark.  ``feed`` any number of Arrow batches (a live
-    source, ``ds.iter_batches``, a socket reader…), then ``finish``."""
+    source, ``ds.iter_batches``, a socket reader…), then ``finish``.
+    Bounded-replay harness — for parallel ingest at scale use
+    ``stream_sessions_distributed``."""
 
     def __init__(
         self,
@@ -176,7 +228,7 @@ class StreamingSessionizer:
         num_shards: int | None = None,
     ):
         if num_shards is None:
-            num_shards = max(2, min(int(ray.cluster_resources().get("CPU", 8)) // 2, 8))
+            num_shards = _default_num_shards()
         self.key_col, self.ts_col = key_col, ts_col
         self.lateness_us = int(allowed_lateness_seconds * 1_000_000)
         self.shards = [
@@ -184,14 +236,13 @@ class StreamingSessionizer:
             for _ in range(num_shards)
         ]
         self.n = num_shards
-        self.watermark_us = -(1 << 62)
+        self.watermark_us = _NEG_INF
         self.closed: list[pa.Table] = []
 
     def feed(self, batch: pa.Table) -> None:
         if batch.num_rows == 0:
             return
-        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
-        shard = (hash64(keys) % np.uint64(self.n)).astype(np.int64)
+        shard, hit = _route_batch(batch, self.key_col, self.n)
         ts = (
             batch.column(self.ts_col)
             .cast(pa.timestamp("us"))
@@ -203,18 +254,18 @@ class StreamingSessionizer:
         # as it stood on arrival
         arrival_wm = self.watermark_us
         self.watermark_us = max(self.watermark_us, int(ts.max()) - self.lateness_us)
-        hit = set(int(s) for s in np.unique(shard))
+        hit_set = set(int(s) for s in hit)
         refs = [
             self.shards[s].on_batch.remote(
                 batch.filter(pa.array(shard == s)), arrival_wm, self.watermark_us
             )
-            for s in hit
+            for s in hit_set
         ]
         # shards with no rows this batch still see the watermark advance
         refs.extend(
             self.shards[s].advance.remote(self.watermark_us)
             for s in range(self.n)
-            if s not in hit
+            if s not in hit_set
         )
         self.closed.extend(t for t in ray.get(refs) if t.num_rows)
 
@@ -234,3 +285,141 @@ class StreamingSessionizer:
             ),
             n_late=n_late,
         )
+
+
+# --- distributed ingest (driver out of the hot path) -----------------------
+
+
+@ray.remote(num_cpus=0)
+class _WatermarkActor:
+    """Multi-channel watermark: global = min over feeders of (local max
+    event time) − lateness.  Zero-CPU mailbox actor (one tiny dict)."""
+
+    def __init__(self, n_feeders: int, lateness_us: int):
+        self.n = n_feeders
+        self.lateness_us = lateness_us
+        self.maxes: dict[int, int] = {}
+
+    def update(self, feeder_id: int, local_max_us: int) -> int:
+        prev = self.maxes.get(feeder_id, _NEG_INF)
+        self.maxes[feeder_id] = max(prev, local_max_us)
+        if len(self.maxes) < self.n:
+            return _NEG_INF
+        return min(self.maxes.values()) - self.lateness_us
+
+
+@ray.remote
+def _feeder(
+    it,
+    shards: list,
+    wm_actor,
+    feeder_id: int,
+    key_col: str,
+    ts_col: str,
+    batch_size: int,
+    max_inflight: int,
+) -> tuple[list[pa.Table], int]:
+    """One ingest channel: consume a streaming_split iterator, route
+    key-sliced batches DIRECTLY to the shard actors (no driver hop),
+    report progress to the watermark actor, collect early-closed
+    sessions.  Backpressure: at most ``max_inflight`` un-acked shard
+    sends."""
+    n = len(shards)
+    closed: list[pa.Table] = []
+    inflight: list = []
+    n_rows = 0
+
+    def drain(limit: int) -> None:
+        nonlocal inflight
+        while len(inflight) > limit:
+            ready, inflight = ray.wait(inflight, num_returns=1)
+            for t in ray.get(ready):
+                if t.num_rows:
+                    closed.append(t)
+
+    wm = _NEG_INF
+    for batch in it.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        if batch.num_rows == 0:
+            continue
+        ts = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("int64")
+        )
+        arrival_wm = wm
+        if wm_actor is not None:
+            # one tiny RPC per batch; the returned global watermark
+            # lags by design (min over channels)
+            wm = ray.get(wm_actor.update.remote(feeder_id, int(ts.max())))
+        shard, hit = _route_batch(batch, key_col, n)
+        for s in hit:
+            inflight.append(
+                shards[int(s)].on_batch.remote(
+                    batch.filter(pa.array(shard == int(s))), arrival_wm, wm
+                )
+            )
+        n_rows += batch.num_rows
+        drain(max_inflight)
+    drain(0)
+    return closed, n_rows
+
+
+def stream_sessions_distributed(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 3600.0,
+    allowed_lateness_seconds: float | None = None,
+    num_shards: int | None = None,
+    num_feeders: int = 4,
+    batch_size: int = 4096,
+    max_inflight: int = 16,
+) -> StreamResult:
+    """Parallel-ingest sessionization over a Dataset: ``num_feeders``
+    reader tasks stream disjoint splits straight into the shard actors.
+    The driver only launches feeders and merges results — ingest
+    throughput scales with feeder count (asserted in tests).
+
+    ``allowed_lateness_seconds=None`` (default) disables late drops:
+    every event is accepted and the result is EXACTLY the offline
+    sessionization, independent of feeder interleaving (the interval
+    fold is order-independent).  With a finite lateness the multi-
+    channel watermark (min over feeders) bounds shard state on an
+    unbounded log; late counts then depend on arrival timing and the
+    result covers the accepted set only."""
+    if num_shards is None:
+        num_shards = _default_num_shards()
+    shards = [
+        SessionShard.remote(key_col, ts_col, gap_seconds)
+        for _ in range(num_shards)
+    ]
+    wm_actor = None
+    if allowed_lateness_seconds is not None:
+        wm_actor = _WatermarkActor.remote(
+            num_feeders, int(allowed_lateness_seconds * 1_000_000)
+        )
+    splits = ds.streaming_split(num_feeders, equal=False)
+    results = ray.get(
+        [
+            _feeder.remote(
+                it, shards, wm_actor, i, key_col, ts_col, batch_size, max_inflight
+            )
+            for i, it in enumerate(splits)
+        ]
+    )
+    closed = [t for tabs, _ in results for t in tabs]
+    closed.extend(t for t in ray.get([s.flush.remote() for s in shards]) if t.num_rows)
+    n_late = sum(ray.get([s.late_count.remote() for s in shards]))
+    for s in shards:
+        ray.kill(s)
+    if wm_actor is not None:
+        ray.kill(wm_actor)
+    out = pa.concat_tables(closed) if closed else _empty_sessions()
+    return StreamResult(
+        sessions=out.sort_by(
+            [("key", "ascending"), ("session_start", "ascending")]
+        ),
+        n_late=n_late,
+    )

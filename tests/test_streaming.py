@@ -94,3 +94,127 @@ def test_streaming_watermark_and_late_events():
     assert res.n_late == 1
     a_rows = res.sessions.to_pandas().query("key == 'a'")
     assert len(a_rows) == 1 and a_rows.n_events.iloc[0] == 2
+
+
+def test_out_of_order_event_does_not_glue_across_gap():
+    """ADVICE r2 repro: gap=10s, lateness=600s; events t=1000s then
+    t=500s must yield TWO sessions, not one [500, 1000] blob."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([base + np.timedelta64(r[1], "s") for r in rows]),
+            }
+        )
+
+    s = StreamingSessionizer(
+        key_col="user_id", ts_col="ts", gap_seconds=10.0,
+        allowed_lateness_seconds=600.0, num_shards=2,
+    )
+    s.feed(tbl([("a", 1000)]))
+    s.feed(tbl([("a", 500)]))  # in-lateness, but > gap BEFORE the session
+    res = s.finish()
+    got = res.sessions.to_pandas().sort_values("session_start")
+    assert res.n_late == 0
+    assert len(got) == 2
+    assert got.n_events.tolist() == [1, 1]
+    # and an in-gap out-of-order event still merges
+    s2 = StreamingSessionizer(
+        key_col="user_id", ts_col="ts", gap_seconds=10.0,
+        allowed_lateness_seconds=600.0, num_shards=2,
+    )
+    s2.feed(tbl([("a", 1000)]))
+    s2.feed(tbl([("a", 995)]))
+    r2 = s2.finish()
+    assert len(r2.sessions) == 1 and r2.sessions.column("n_events")[0].as_py() == 2
+
+
+def test_out_of_order_bridging_merges_intervals():
+    """A late-but-accepted event that lands IN the gap between two open
+    intervals must fuse them into one session (interval-union fold)."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([base + np.timedelta64(r[1], "s") for r in rows]),
+            }
+        )
+
+    s = StreamingSessionizer(
+        key_col="user_id", ts_col="ts", gap_seconds=10.0,
+        allowed_lateness_seconds=600.0, num_shards=1,
+    )
+    s.feed(tbl([("a", 100), ("a", 130)]))  # two intervals, 30s apart
+    s.feed(tbl([("a", 115)]))  # 15s from both neighbors: bridges NEITHER
+    res = s.finish()
+    got = res.sessions.to_pandas().sort_values("session_start")
+    assert len(got) == 3
+    s2 = StreamingSessionizer(
+        key_col="user_id", ts_col="ts", gap_seconds=10.0,
+        allowed_lateness_seconds=600.0, num_shards=1,
+    )
+    s2.feed(tbl([("a", 100), ("a", 118)]))
+    s2.feed(tbl([("a", 109)]))  # within 10s of BOTH → one session of 3
+    r2 = s2.finish()
+    assert len(r2.sessions) == 1
+    assert r2.sessions.column("n_events")[0].as_py() == 3
+
+
+def test_distributed_matches_offline_any_order():
+    """stream_sessions_distributed (parallel feeders, exact mode) must
+    equal the offline sessionizer — the feed is NOT sorted by time."""
+    from mtb_validation_service_ray.stages.streaming import (
+        stream_sessions_distributed,
+    )
+
+    t = _events(n_users=15, n_events=600, seed=23)
+    # shuffle rows so feeders see arbitrary interleavings
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(t.num_rows)
+    shuffled = t.take(pa.array(perm))
+    offline = (
+        session_windows(
+            rd.from_arrow(t), key_col="user_id", ts_col="ts", gap_seconds=600.0
+        )
+        .to_pandas()
+        .rename(columns={"user_id": "key"})
+        .sort_values(["key", "session_start"])
+        .reset_index(drop=True)[["key", "session_start", "session_end", "n_events"]]
+    )
+    res = stream_sessions_distributed(
+        rd.from_arrow(shuffled).repartition(7),
+        key_col="user_id", ts_col="ts", gap_seconds=600.0,
+        num_shards=3, num_feeders=3, batch_size=64,
+    )
+    got = (
+        res.sessions.to_pandas()
+        .sort_values(["key", "session_start"])
+        .reset_index(drop=True)
+    )
+    for df in (got, offline):
+        df["session_start"] = df["session_start"].astype("datetime64[us]")
+        df["session_end"] = df["session_end"].astype("datetime64[us]")
+    assert res.n_late == 0
+    assert got.equals(offline), f"\n{got}\n{offline}"
+
+
+def test_distributed_watermark_bounds_state():
+    """Finite lateness + multi-feeder watermark still closes sessions
+    and accounts (not asserts exact counts — arrival-timing dependent)."""
+    from mtb_validation_service_ray.stages.streaming import (
+        stream_sessions_distributed,
+    )
+
+    t = _events(n_users=10, n_events=300, seed=31)
+    res = stream_sessions_distributed(
+        rd.from_arrow(t).repartition(4),
+        key_col="user_id", ts_col="ts", gap_seconds=600.0,
+        allowed_lateness_seconds=7200.0,
+        num_shards=2, num_feeders=2, batch_size=32,
+    )
+    total = int(res.sessions.column("n_events").to_pandas().sum()) + res.n_late
+    assert total == t.num_rows  # every event accounted: in a session or late
