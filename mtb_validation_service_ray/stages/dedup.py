@@ -15,10 +15,15 @@ Scale design (common to all variants):
   before any exact Jaccard/hamming verification runs.
 * skew: a hot band/chunk collision group (boilerplate documents) is
   bounded by ``max_bucket_pairs`` — a group whose full pair count
-  C(k,2) exceeds the cap emits a *star* to its smallest id (O(k) edges,
-  connectivity preserved for clustering) instead of all O(k²) pairs,
-  and every emitted pair carries ``(n_members, sampled)`` so overflow
-  groups are reported (``overflow_report``), never silently dropped.
+  C(k,2) exceeds the cap emits a *star* to its smallest id plus a
+  *ring* over the sorted order (2k−3 edges) instead of all O(k²)
+  pairs.  Pre-verification connectivity is preserved exactly;
+  post-verification the redundancy (hub + both neighbors per member)
+  keeps clusters whole when individual edges fail the similarity
+  check, though a capped group can still split clusters vs full
+  emission (see ``_group_pair_indices``).  Every emitted pair carries
+  ``(n_members, sampled)`` so overflow groups are reported
+  (``overflow_report``), never silently dropped.
 """
 
 from __future__ import annotations
@@ -41,18 +46,43 @@ DEFAULT_NUM_BUCKETS = 1024
 DEFAULT_MAX_BUCKET_PAIRS = 10_000
 
 
+def _group_pair_indices(
+    k: int, max_pairs: int
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Vectorized candidate-pair INDICES for one collision group of k
+    sorted unique members: all C(k,2) pairs under ``max_pairs``, else a
+    star to member 0 plus a ring over the sorted order (2k−3 edges,
+    still O(k)).
+
+    Accuracy note (ADVICE r2): the cap is lossy AFTER verification —
+    in a capped group, a near-dup pair (x, y) survives clustering only
+    if a path of VERIFIED edges connects x and y, and only star+ring
+    edges are emitted.  The ring gives each member two redundant paths
+    (hub and both neighbors), which keeps clusters whole when some hub
+    edges fail the similarity check, but a capped group can still split
+    clusters relative to full C(k,2) emission.  Capped output is never
+    silent: every pair carries ``(n_members, sampled)`` and
+    ``overflow_report`` summarizes the affected groups."""
+    if k * (k - 1) // 2 <= max_pairs:
+        i, j = np.triu_indices(k, 1)
+        return i, j, False
+    star_l = np.zeros(k - 1, dtype=np.int64)
+    star_r = np.arange(1, k, dtype=np.int64)
+    ring_l = np.arange(1, k - 1, dtype=np.int64)
+    ring_r = np.arange(2, k, dtype=np.int64)
+    return (
+        np.concatenate([star_l, ring_l]),
+        np.concatenate([star_r, ring_r]),
+        True,
+    )
+
+
 def _group_pairs(
     ids: np.ndarray, max_pairs: int
 ) -> tuple[np.ndarray, np.ndarray, bool]:
-    """Vectorized candidate pairs for one collision group of sorted
-    unique ids: all C(k,2) pairs under ``max_pairs``, else the star to
-    ids[0] (bounded O(k), keeps the group connected for clustering).
-    Returns (left_idx ids, right_idx ids, sampled)."""
-    k = len(ids)
-    if k * (k - 1) // 2 <= max_pairs:
-        i, j = np.triu_indices(k, 1)
-        return ids[i], ids[j], False
-    return np.repeat(ids[0], k - 1), ids[1:], True
+    """Value-level wrapper over ``_group_pair_indices``."""
+    i, j, sampled = _group_pair_indices(len(ids), max_pairs)
+    return ids[i], ids[j], sampled
 
 
 def overflow_report(pairs: rd.Dataset) -> pa.Table:
@@ -206,13 +236,24 @@ class MinHashStage:
                     "band_hash": pa.array([], pa.int64()),
                 }
             )
-        # shingling is inherently per-document (string ops); everything
-        # after is batched across the documents
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        # shingling is inherently per-document (string ops); the
+        # permutation mins run doc-batched — one (slab × num_perm)
+        # matrix + ``minimum.reduceat`` per slab instead of one matrix
+        # per document (VERDICT r2 #6)
+        sigs = np.full((n, self.num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
+        hashes: list[np.ndarray] = []
+        rows: list[int] = []
         for j, i in enumerate(valid_idx):
-            sigs[j] = minhash_signature(
-                shingle_hashes(texts[i], self.k), self.a, self.b
+            h = shingle_hashes(texts[i], self.k)
+            if len(h):
+                rows.append(j)
+                hashes.append(h.astype(np.uint64))
+        max_shingles = max(1 << 13, max((len(h) for h in hashes), default=0))
+        for lo, hi, slab, offsets, _ in _doc_slabs(hashes, max_shingles):
+            vals = (slab[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(
+                _MERSENNE
             )
+            sigs[rows[lo:hi]] = np.minimum.reduceat(vals, offsets, axis=0)
         # band hashes: one vectorized hash call PER BAND over all docs
         # (was one per doc×band — the stage's former hot loop)
         bands_m = sigs.reshape(n, self.bands, self.rows_per_band)
@@ -341,6 +382,7 @@ def verify_jaccard_pairs(
     num_partitions: int | None = None,
     strategy: str = "auto",
     broadcast_max_pairs: int = 2_000_000,
+    broadcast_max_bytes: int = 1 << 30,
 ) -> rd.Dataset:
     """Exact Jaccard verification of candidate pairs — the corpus never
     lands on the driver (the r1 whole-corpus dict is gone):
@@ -399,13 +441,27 @@ def verify_jaccard_pairs(
                 pc.is_in(batch.column(id_col), value_set=need)
             ).select([id_col, text_col])
 
-        kept = [
-            b
-            for b in texts.map_batches(
-                keep_needed, batch_format="pyarrow"
-            ).iter_batches(batch_format="pyarrow", batch_size=1 << 16)
-            if b.num_rows
-        ]
+        # the pair-count gate bounds how many DOCS the lookup holds, not
+        # their text BYTES — a corpus of huge documents could blow the
+        # driver even under the pair cap, so the accumulated bytes are
+        # gated too (ADVICE/VERDICT r2 #5) and overflow falls back to
+        # the distributed join arm mid-stream
+        kept = []
+        kept_bytes = 0
+        for b in texts.map_batches(
+            keep_needed, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            if not b.num_rows:
+                continue
+            kept.append(b)
+            kept_bytes += b.nbytes
+            if kept_bytes > broadcast_max_bytes:
+                return verify_jaccard_pairs(
+                    pairs_ds, docs_ds,
+                    id_col=id_col, text_col=text_col, threshold=threshold,
+                    shingle_k=shingle_k, num_partitions=num_partitions,
+                    strategy="join",
+                )
         lookup: dict = {}
         for t in kept:
             lookup.update(
@@ -679,22 +735,55 @@ def _cc_distributed(
 # --- SimHash ---------------------------------------------------------------
 
 
+def _doc_slabs(hashes: list[np.ndarray], max_shingles: int):
+    """Group consecutive (non-empty) per-doc hash arrays into slabs of
+    ≤ ``max_shingles`` total and yield ``(start, end, slab, offsets)``
+    for one vectorized ``reduceat`` pass per slab.  Bounds the working
+    set of the doc-batched kernels — fresh multi-hundred-MB allocations
+    page-fault at ~80 MB/s on this box (BASELINE.md)."""
+    j = 0
+    while j < len(hashes):
+        k, tot = j, 0
+        while k < len(hashes) and (tot == 0 or tot + len(hashes[k]) <= max_shingles):
+            tot += len(hashes[k])
+            k += 1
+        lens = np.array([len(h) for h in hashes[j:k]], dtype=np.int64)
+        slab = np.concatenate(hashes[j:k])
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        yield j, k, slab, offsets, lens
+        j = k
+
+
 def simhash64(texts: list[str | None], shingle_k: int = 3) -> np.ndarray:
-    """64-bit SimHash per document over hashed shingles."""
-    out = np.zeros(len(texts), dtype=np.int64)
+    """64-bit SimHash per document over hashed shingles.
+
+    Doc-batched: shingle hashing stays per-document (string op), but
+    the per-bit vote sums run one ``add.reduceat`` per slab of docs and
+    the sign→bit assembly is a single ``np.packbits`` over the whole
+    batch (the former per-doc 64-step Python loop, VERDICT r2 #6)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    idx: list[int] = []
+    hashes: list[np.ndarray] = []
     for i, text in enumerate(texts):
         if not text:
             continue
-        hashes = shingle_hashes(text, shingle_k).astype(np.uint64)
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        acc = (2 * bits - 1).sum(axis=0)
-        val = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                val |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(val)
+        h = shingle_hashes(text, shingle_k)
+        if len(h):
+            idx.append(i)
+            hashes.append(h.astype(np.uint64))
+    if not idx:
+        return out
+    pos = np.zeros((len(idx), 64), dtype=bool)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    for j, k, slab, offsets, lens in _doc_slabs(hashes, 1 << 15):
+        bits = ((slab[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        ones = np.add.reduceat(bits, offsets, axis=0)
+        # majority vote: bit set iff ones > zeros ⇔ 2·ones − len > 0
+        pos[j:k] = (2 * ones - lens[:, None]) > 0
+    packed = np.packbits(pos, axis=1, bitorder="little")
+    vals = packed.reshape(len(idx), 8).view(np.uint64).ravel()
+    out[np.asarray(idx)] = vals.view(np.int64)
     return out
 
 
@@ -769,13 +858,8 @@ def simhash_candidates(
             ids = sub["doc_id"].to_numpy()
             hs = sub["simhash"].to_numpy().astype(np.int64)
             k = len(ids)
-            if k * (k - 1) // 2 <= max_bucket_pairs:
-                i, j = np.triu_indices(k, 1)
-                sampled = 0
-            else:
-                i = np.zeros(k - 1, dtype=np.int64)
-                j = np.arange(1, k)
-                sampled = 1
+            i, j, was_sampled = _group_pair_indices(k, max_bucket_pairs)
+            sampled = int(was_sampled)
             d = hamming64_batch(hs[i], hs[j])
             keep = d <= max_hamming
             if not keep.any():

@@ -56,13 +56,24 @@ def non_head_mask(pids, oids, heads: dict[int, str]) -> list[bool]:
     ]
 
 
+# above this many candidate rows the judge pass stays distributed — an
+# adversarial input where EVERY row misses caption+phash must not
+# materialize the full id column on the driver (VERDICT r2 #5)
+DRIVER_MAX_CANDIDATES = 2_000_000
+
+
 def tail_either_violations(
-    ds: rd.Dataset, *, order_col: str = "image_id"
+    ds: rd.Dataset,
+    *,
+    order_col: str = "image_id",
+    driver_max_candidates: int = DRIVER_MAX_CANDIDATES,
 ) -> rd.Dataset:
     """The R-TAIL-EITHER pass (eager: the head set must be complete
-    before candidates can be judged — mirrors the adaptive driver
-    reduce's small-result assumption: candidates are a violation
-    stream, not the data)."""
+    before candidates can be judged).  Candidates are a violation
+    stream — rare by assumption — so the normal path folds them on the
+    driver; a count gate keeps adversarial all-null inputs bounded by
+    switching to a broadcast-heads distributed judge over the
+    (object-store-resident) scan output."""
 
     def scan(batch: pa.Table) -> pa.Table:
         heads = (
@@ -94,38 +105,82 @@ def tail_either_violations(
             }
         )
 
-    parts = [
-        b
-        for b in ds.map_batches(scan, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=1 << 16
-        )
-        if b.num_rows
-    ]
-    if not parts:
-        from ..schema import VIOLATION_SCHEMA
-
-        return rd.from_arrow(VIOLATION_SCHEMA.empty_table())
-    t = pa.concat_tables(parts)
-    head_rows = t.filter(pc.equal(t.column("is_head"), 1))
-    heads = fold_heads(
-        head_rows.column("pid").to_pylist(), head_rows.column("oid").to_pylist()
-    )
-    cand = t.filter(pc.equal(t.column("is_head"), 0))
-    keep = np.array(
-        non_head_mask(
-            cand.column("pid").to_pylist(), cand.column("oid").to_pylist(), heads
-        ),
-        dtype=bool,
-    ) if cand.num_rows else np.array([], dtype=bool)
-    idx = pa.array(np.nonzero(keep)[0])
     from ..schema import VIOLATION_SCHEMA
 
-    if len(idx) == 0:
+    # scan output stays in the object store (spillable), never on the
+    # driver — only heads (≤ #partitions rows/batch) and the candidate
+    # COUNT come back before the gate decides
+    scan_ds = ds.map_batches(scan, batch_format="pyarrow").materialize()
+
+    def only_heads(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("is_head"), 1))
+
+    head_parts = [
+        b
+        for b in scan_ds.map_batches(
+            only_heads, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        if b.num_rows
+    ]
+    n_heads = sum(b.num_rows for b in head_parts)
+    n_cand = scan_ds.count() - n_heads
+    if n_cand == 0:
         return rd.from_arrow(VIOLATION_SCHEMA.empty_table())
-    return rd.from_arrow(
-        violations_table(
+    heads = fold_heads(
+        [p for b in head_parts for p in b.column("pid").to_pylist()],
+        [o for b in head_parts for o in b.column("oid").to_pylist()],
+    )
+
+    if n_cand <= driver_max_candidates:
+        cand_parts = [
+            b.filter(pc.equal(b.column("is_head"), 0))
+            for b in scan_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        ]
+        cand = pa.concat_tables([b for b in cand_parts if b.num_rows])
+        keep = np.array(
+            non_head_mask(
+                cand.column("pid").to_pylist(), cand.column("oid").to_pylist(), heads
+            ),
+            dtype=bool,
+        )
+        idx = pa.array(np.nonzero(keep)[0])
+        if len(idx) == 0:
+            return rd.from_arrow(VIOLATION_SCHEMA.empty_table())
+        return rd.from_arrow(
+            violations_table(
+                cand.column("oid").take(idx),
+                RULE_ID, SEVERITY, PATH, MESSAGE,
+                cand.column("pid").take(idx),
+            )
+        )
+
+    # distributed judge: the head map is tiny (one entry per partition)
+    # — broadcast it once and emit violations inside map_batches; the
+    # candidate stream never funnels through the driver
+    import ray
+
+    heads_ref = ray.put(heads)
+
+    def judge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cand = batch.filter(pc.equal(batch.column("is_head"), 0))
+        if cand.num_rows == 0:
+            return VIOLATION_SCHEMA.empty_table()
+        h = ray.get(heads_ref)
+        pid = cand.column("pid").to_pandas()
+        oid = cand.column("oid").to_pandas()
+        # tail ⇔ no head exists for the pid (incl. null pid) or the row
+        # is not its partition's minimum — vectorized dict lookup
+        head_oid = pid.map(h)
+        keep = (pid.isna() | head_oid.isna() | (head_oid != oid)).to_numpy()
+        idx = pa.array(np.nonzero(keep)[0])
+        if len(idx) == 0:
+            return VIOLATION_SCHEMA.empty_table()
+        return violations_table(
             cand.column("oid").take(idx),
             RULE_ID, SEVERITY, PATH, MESSAGE,
             cand.column("pid").take(idx),
         )
-    )
+
+    return scan_ds.map_batches(judge, batch_format="pyarrow")

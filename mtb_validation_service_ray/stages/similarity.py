@@ -117,30 +117,56 @@ def cosine_near_dups(
     embedding_col: str = "embedding",
     id_col: str = "vec_id",
     strategy: str = "auto",
-    lsh_bits: int = 16,
-    lsh_chunks: int = 4,
+    lsh_bits: int | None = None,
+    lsh_chunks: int = 6,
     seed: int = 13,
     batch_size: int = 4096,
     broadcast_max_rows: int = 1_000_000,
+    max_bucket_pairs: int | None = None,
+    num_buckets: int = 1024,
 ) -> rd.Dataset:
     """All pairs (a < b) with cosine similarity ≥ threshold.
 
     strategy="broadcast": exact — ship the full normalized matrix via
-    ``ray.put`` (fine to ~10^6 vectors), one matmul per batch.
+    ``ray.put`` (fine to ~10^6 vectors), one matmul per batch.  Output
+    ``(id_a, id_b, cosine)``.
     strategy="lsh": approximate candidate generation via random-
     hyperplane signatures bucketed by signature chunk (any pair with few
-    differing bits shares a chunk), exact verification inside buckets.
+    differing bits shares a chunk), exact cosine verification inside
+    buckets.  Scale design (VERDICT r2 #1):
+
+    * ``lsh_bits=None`` (default) sizes bits-per-chunk to the corpus —
+      ``max(8, ⌈log2 n⌉ − 4)`` — so the EXPECTED random-collision
+      bucket stays ≤ ~16 rows no matter how large n grows (true
+      near-dups still collide: they agree on the projections
+      themselves, not by chance).
+    * hot buckets (identical/boilerplate vectors) are bounded by the
+      same ``max_bucket_pairs`` star+ring cap as the text-dedup family
+      (``stages.dedup._group_pair_indices``); every emitted pair
+      carries ``(n_members, sampled)`` and ``dedup.overflow_report``
+      works on the output unchanged.
+    * verification computes cosine ONLY for emitted pairs — a tiled
+      pair-gather ``einsum``, never a k×k in-bucket matmul — so both
+      compute and memory per bucket are O(pairs·d), capped.
+    * collision groups are coarsened into ``num_buckets`` shuffle
+      buckets (vectorized pandas groupby inside), so per-group Python
+      call count is bounded by ``num_buckets``, not by 2^bits.
+
+    Output ``(id_a, id_b, cosine, n_members, sampled)``.  Recall trades
+    against chunk width: P(candidate) ≈ 1 − (1 − p^b)^c with
+    p = 1 − θ/π; widen ``lsh_chunks`` to buy recall at the cost of one
+    extra (id, embedding) shuffle copy per chunk.
     strategy="auto" (default): count-gated switch — broadcast while the
     vector count fits ``broadcast_max_rows``, LSH beyond it (the same
-    adaptive pattern as verdicts' driver-vs-distributed reduce).
-
-    Always returns a (lazy) Dataset of ``(id_a, id_b, cosine)``."""
+    adaptive pattern as verdicts' driver-vs-distributed reduce)."""
+    n_rows: int | None = None
     if strategy == "auto":
         # pin once: the count gate and the chosen arm must not each
         # re-execute the upstream pipeline (the broadcast arm alone
         # consumes the input twice — matrix collect + pair stream)
         ds = ds.materialize()
-        strategy = "broadcast" if ds.count() <= broadcast_max_rows else "lsh"
+        n_rows = ds.count()
+        strategy = "broadcast" if n_rows <= broadcast_max_rows else "lsh"
     if strategy == "broadcast":
         rows = []
         ids_all = []
@@ -184,23 +210,36 @@ def cosine_near_dups(
     import pandas as pd
     from ray.data.aggregate import Max
 
+    from .dedup import DEFAULT_MAX_BUCKET_PAIRS, _group_pair_indices
+
+    if max_bucket_pairs is None:
+        max_bucket_pairs = DEFAULT_MAX_BUCKET_PAIRS
+    if lsh_bits is None:
+        if n_rows is None:
+            ds = ds.materialize()
+            n_rows = ds.count()
+        chunk_bits = max(8, int(np.ceil(np.log2(max(n_rows, 2)))) - 4)
+        lsh_bits = chunk_bits * lsh_chunks
+    else:
+        chunk_bits = max(1, lsh_bits // lsh_chunks)
+
     first = ds.take(1)
     dim = len(first[0][embedding_col])
     rng = np.random.Generator(np.random.Philox(key=seed))
-    planes = rng.normal(size=(dim, lsh_bits))
+    planes = rng.normal(size=(dim, chunk_bits * lsh_chunks))
     planes_ref = ray.put(planes)
-    chunk_bits = lsh_bits // lsh_chunks
 
     def signatures(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         m = _normalize(_batch_matrix(batch, embedding_col))
-        bits = (m @ pl) > 0
-        sig = np.zeros(len(m), dtype=np.int64)
-        for b in range(lsh_bits):
-            sig |= bits[:, b].astype(np.int64) << b
+        bits = np.ascontiguousarray((m @ pl) > 0)
         tables = []
         for c in range(lsh_chunks):
-            chunk = (sig >> (c * chunk_bits)) & ((1 << chunk_bits) - 1)
+            # pack this chunk's bit-slice straight to its value —
+            # chunk_bits can exceed 64/lsh_chunks, so no shared int64 sig
+            sl = bits[:, c * chunk_bits : (c + 1) * chunk_bits]
+            weights = (1 << np.arange(chunk_bits, dtype=np.uint64)).astype(np.uint64)
+            chunk = (sl.astype(np.uint64) @ weights).astype(np.int64)
             tables.append(
                 pa.table(
                     {
@@ -213,28 +252,72 @@ def cosine_near_dups(
             )
         return pa.concat_tables(tables)
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        sub = group.drop_duplicates(id_col).sort_values(id_col)
-        m = _normalize(np.vstack(sub[embedding_col].to_numpy()))
-        ids = sub[id_col].to_numpy()
-        sims = m @ m.T
-        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame(
-            {
-                "id_a": ids[ai],
-                "id_b": ids[bj],
-                "cosine": np.round(sims[ai, bj], 6),
-            }
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        key = (
+            batch.column("chunk_val").to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            + batch.column("chunk_id").to_numpy(zero_copy_only=False).astype(np.uint64)
         )
+        return batch.append_column(
+            "_bucket", pa.array((key % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    _TILE = 8192  # pairs per einsum slab (bounds the gather working set)
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for (_, _), sub in group.groupby(["chunk_id", "chunk_val"], sort=False):
+            if len(sub) < 2:
+                continue
+            sub = sub.drop_duplicates(id_col).sort_values(id_col)
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            m = _normalize(np.vstack(sub[embedding_col].to_numpy()))
+            k = len(ids)
+            i, j, sampled = _group_pair_indices(k, max_bucket_pairs)
+            sims = np.empty(len(i), dtype=np.float64)
+            for t0 in range(0, len(i), _TILE):
+                sl = slice(t0, t0 + _TILE)
+                sims[sl] = np.einsum("ij,ij->i", m[i[sl]], m[j[sl]])
+            keep = sims >= threshold
+            if not keep.any():
+                continue
+            nk = int(keep.sum())
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[i][keep],
+                        "id_b": ids[j][keep],
+                        "cosine": np.round(sims[keep], 6),
+                        "n_members": np.full(nk, k, dtype=np.int32),
+                        "sampled": np.full(nk, int(sampled), dtype=np.int8),
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=group[id_col].dtype),
+                    "id_b": pd.Series(dtype=group[id_col].dtype),
+                    "cosine": pd.Series(dtype=np.float64),
+                    "n_members": pd.Series(dtype=np.int32),
+                    "sampled": pd.Series(dtype=np.int8),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
 
     pairs = (
         ds.map_batches(signatures, batch_format="pyarrow", batch_size=batch_size)
-        .groupby(["chunk_id", "chunk_val"])
-        .map_groups(verify, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine", alias_name="cosine"),
+        Max("n_members", alias_name="n_members"),
+        Max("sampled", alias_name="sampled"),
+    )
 
 
 def ivf_knn(

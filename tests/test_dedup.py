@@ -81,9 +81,10 @@ def test_simhash_finds_near_dups():
 
 def test_minhash_hot_bucket_cap():
     """A boilerplate-heavy group (2k identical docs) must NOT generate
-    O(k^2) pairs: overflow groups emit a star to the min id (k-1 edges,
-    connectivity preserved) tagged sampled=1, and overflow_report
-    surfaces the capped group (VERDICT r1 #1)."""
+    O(k^2) pairs: overflow groups emit a star to the min id plus a ring
+    over the sorted order (2k-3 edges, redundant connectivity through
+    verification) tagged sampled=1, and overflow_report surfaces the
+    capped group (VERDICT r1 #1, ADVICE r2 ring)."""
     from mtb_validation_service_ray.stages.dedup import overflow_report
 
     k = 2000
@@ -98,15 +99,17 @@ def test_minhash_hot_bucket_cap():
         ds, concurrency=1, max_bucket_pairs=500
     ).materialize()
     df = cands.to_pandas()
-    # star: every doc pairs with doc 0 exactly once, nothing else
-    assert len(df) == k - 1
-    assert (df.doc_a == 0).all()
-    assert set(df.doc_b) == set(range(1, k))
+    # star + ring: every doc pairs with doc 0, every consecutive pair too
+    assert len(df) == 2 * k - 3
+    star = df[df.doc_a == 0]
+    assert set(star.doc_b) == set(range(1, k))
+    ring = df[df.doc_a != 0]
+    assert set(zip(ring.doc_a, ring.doc_b)) == {(i, i + 1) for i in range(1, k - 1)}
     assert (df.sampled == 1).all()
     assert (df.n_members == k).all()
     rep = overflow_report(cands).to_pandas()
     assert list(rep.n_members) == [k]
-    assert rep.n_pairs_emitted.iloc[0] == k - 1
+    assert rep.n_pairs_emitted.iloc[0] == 2 * k - 3
 
 
 def test_minhash_under_cap_unsampled():
@@ -127,8 +130,8 @@ def test_simhash_hot_bucket_cap():
     pairs = simhash_candidates(
         rd.from_arrow(t), concurrency=1, max_hamming=3, max_bucket_pairs=100
     ).to_pandas()
-    assert len(pairs) == k - 1
-    assert (pairs.doc_a == 0).all()
+    assert len(pairs) == 2 * k - 3  # star + ring
+    assert set(pairs[pairs.doc_a == 0].doc_b) == set(range(1, k))
     assert (pairs.hamming == 0).all()
     assert (pairs.sampled == 1).all()
 
@@ -150,3 +153,104 @@ def test_verify_jaccard_strategies_agree():
     )
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_simhash64_matches_naive_reference():
+    """The slab-vectorized simhash64 must equal a per-doc reference."""
+    import numpy as np
+
+    from mtb_validation_service_ray.functions.textfn import shingle_hashes
+    from mtb_validation_service_ray.stages.dedup import simhash64
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [
+        " ".join(rng.choice(words, rng.integers(1, 40)))
+        for _ in range(50)
+    ] + [None, "", "xy"]  # degenerate docs
+
+    def naive(text, k=3):
+        if not text:
+            return 0
+        h = shingle_hashes(text, k).astype(np.uint64)
+        if not len(h):
+            return 0
+        val = 0
+        for b in range(64):
+            ones = int(((h >> np.uint64(b)) & np.uint64(1)).sum())
+            if 2 * ones - len(h) > 0:
+                val |= 1 << b
+        return np.uint64(val).astype(np.int64)
+
+    got = simhash64(texts, 3)
+    exp = np.array([naive(t) for t in texts], dtype=np.int64)
+    assert (got == exp).all()
+
+
+def test_minhash_batched_signature_matches_per_doc():
+    """Slab-batched reduceat signatures equal the per-doc kernel."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mtb_validation_service_ray.functions.textfn import shingle_hashes
+    from mtb_validation_service_ray.stages.dedup import (
+        MinHashStage,
+        minhash_signature,
+    )
+
+    rng = np.random.default_rng(7)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur"]
+    texts = [
+        " ".join(rng.choice(words, rng.integers(1, 60))) for _ in range(40)
+    ] + [None, ""]
+    stage = MinHashStage("text", "doc_id", num_perm=32, bands=8)
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = stage(batch).to_pandas()
+
+    # reference: per-doc signature -> per-band hash via the same path
+    # (compare band rows indirectly: identical band hashes per doc)
+    import pandas as pd
+
+    for i, t in enumerate(texts):
+        if t is None:
+            assert i not in set(got.doc_id)
+            continue
+        sig = minhash_signature(shingle_hashes(t, stage.k), stage.a, stage.b)
+        bands_m = sig.reshape(stage.bands, stage.rows_per_band)
+        for b in range(stage.bands):
+            arr = np.ascontiguousarray(bands_m[b][None, :])
+            exp_h = pd.util.hash_array(
+                arr.view([("", arr.dtype)] * stage.rows_per_band).ravel()
+            ).astype(np.int64)[0]
+            row = got[(got.doc_id == i) & (got.band_id == b)]
+            assert len(row) == 1 and row.band_hash.iloc[0] == exp_h, (i, b)
+
+
+def test_verify_jaccard_bytes_gate_falls_back_to_join():
+    """Huge candidate texts must trip the byte gate (pair count small)
+    and produce the same verified pairs via the join arm."""
+    import pyarrow as pa
+
+    big = "word " * 20_000  # ~100 KB per doc
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [big, big, "tiny different", "tiny different"],
+        }
+    )
+    pairs = pa.table({"doc_a": [1, 3], "doc_b": [2, 4]})
+    ds = rd.from_arrow(t)
+    gated = (
+        verify_jaccard_pairs(
+            pairs, ds, threshold=0.5, strategy="broadcast",
+            broadcast_max_bytes=10_000,
+        )
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    plain = (
+        verify_jaccard_pairs(pairs, ds, threshold=0.5, strategy="join",
+                             num_partitions=2)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert gated.equals(plain)
+    assert set(zip(gated.doc_a, gated.doc_b)) == {(1, 2), (3, 4)}

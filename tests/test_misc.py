@@ -250,3 +250,42 @@ def test_run_job_rechunk_resume_no_double_emit(tmp_path):
     # each golden violation appears exactly once
     per_rule = v.groupby(["record_id", "rule_id"]).size()
     assert (per_rule == 1).all(), per_rule[per_rule > 1]
+
+
+def test_tail_either_distributed_gate_agrees_with_driver():
+    """Adversarial input (EVERY row a candidate) must stay off the
+    driver: the count gate switches to the broadcast-heads judge and
+    both arms emit identical violations."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mtb_validation_service_ray.schema import PARTITION_COL
+    from mtb_validation_service_ray.stages.positional import (
+        tail_either_violations,
+    )
+
+    n = 400
+    t = pa.table(
+        {
+            "image_id": [f"img-{i:016x}" for i in range(n)],
+            "caption": pa.nulls(n, pa.string()),
+            "phash": pa.nulls(n, pa.int64()),
+            PARTITION_COL: pa.array(
+                (np.arange(n) % 5).astype("int32"), pa.int32()
+            ),
+        }
+    )
+    driver = (
+        tail_either_violations(rd.from_arrow(t).repartition(4))
+        .to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    dist = (
+        tail_either_violations(
+            rd.from_arrow(t).repartition(4), driver_max_candidates=10
+        )
+        .to_pandas().sort_values("record_id").reset_index(drop=True)
+    )
+    # every partition's min id is exempt; all other rows violate
+    assert len(driver) == n - 5
+    assert driver.equals(dist)

@@ -98,3 +98,39 @@ def test_ivf_knn_recall():
     approx_ids = set(approx.column("vec_id").to_pylist())
     # planted dups live next to the query — IVF must recall most of them
     assert len(exact_ids & approx_ids) >= 3
+
+
+def test_cosine_lsh_100k_hot_bucket_bounded():
+    """The LSH arm at 100k vectors with a 3k-identical hot cluster must
+    (a) cap the hot collision group at star+ring (2k-3 pairs, sampled=1)
+    instead of C(3k,2)≈4.5M, (b) carry the (n_members, sampled) audit so
+    overflow_report surfaces it, and (c) auto-size chunk bits to the
+    corpus (≥ log2(n)-4), keeping random buckets tiny (VERDICT r2 #1)."""
+    from mtb_validation_service_ray.stages.dedup import overflow_report
+
+    n, d, hot = 100_000, 8, 3000
+    rng = np.random.default_rng(17)
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    m[:hot] = m[0]  # one giant identical cluster
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(m.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    pairs = cosine_near_dups(
+        rd.from_arrow(t), threshold=0.99, strategy="lsh",
+        max_bucket_pairs=2000, batch_size=8192,
+    ).materialize()
+    df = pairs.to_pandas()
+    hot_pairs = df[(df.id_a < hot) & (df.id_b < hot)]
+    # star+ring exactly: (0,j) for all j plus consecutive (j, j+1)
+    assert len(hot_pairs) == 2 * hot - 3
+    assert (hot_pairs.sampled == 1).all()
+    # the group may pick up chance collisions at d=8, so ≥, not ==
+    assert (hot_pairs.n_members >= hot).all()
+    assert (hot_pairs.cosine > 0.999999).all()
+    rep = overflow_report(pairs).to_pandas()
+    assert (rep.n_members >= hot).any()
+    # random vectors at d=8 can still near-collide; just bound the total
+    assert len(df) < 200_000
