@@ -106,16 +106,58 @@ def fingerprint64(col) -> pa.Array:
     return pa.array(hashes, pa.int64())
 
 
+# rolling-combination multiplier for word-gram hashes (odd ⇒ invertible
+# mod 2^64, so position information is preserved)
+_GRAM_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def shingle_hashes_batch(texts, k: int = 5) -> list[np.ndarray]:
+    """Hashed k-shingles for a BATCH of documents (word n-grams; char
+    shingles for short docs) — MinHash/Jaccard input.
+
+    Batched design (VERDICT r2 #6): tokenization stays per document
+    (string op), but hashing runs as ONE ``hash_array`` call over every
+    token/char-gram in the batch, and word-gram hashes are a rolling
+    polynomial over consecutive token hashes (vectorized sliding
+    window) instead of joining and hashing gram strings per position.
+    Gram hash = Σ_j hash(tok[i+j]) · P^j (mod 2^64) — distinct grams
+    collide only at ~2^-64."""
+    units: list = []  # every string to hash, all docs concatenated
+    spans: list[tuple[int, int, bool]] = []  # (start, n_units, is_words)
+    for text in texts:
+        toks = (text or "").lower().split()
+        start = len(units)
+        if len(toks) >= k:
+            units.extend(toks)
+            spans.append((start, len(toks), True))
+        else:
+            s = " ".join(toks)
+            grams = [s[i : i + k] for i in range(max(len(s) - k + 1, 1))]
+            units.extend(grams)
+            spans.append((start, len(grams), False))
+    if not units:
+        return [np.empty(0, dtype=np.uint64) for _ in texts]
+    h = pd.util.hash_array(
+        np.array(units, dtype=object), categorize=False
+    ).astype(np.uint64)
+    weights = _GRAM_P ** np.arange(k, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    for start, n, is_words in spans:
+        seg = h[start : start + n]
+        if not is_words:
+            out.append(seg)
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(seg, k)
+        with np.errstate(over="ignore"):
+            out.append((win * weights[None, :]).sum(axis=1, dtype=np.uint64))
+    return out
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hashed k-shingles (word n-grams fall back to char shingles for
-    short docs) — MinHash/Jaccard input."""
-    toks = text.lower().split()
-    if len(toks) >= k:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    else:
-        s = " ".join(toks)
-        grams = [s[i : i + k] for i in range(max(len(s) - k + 1, 1))]
-    return pd.util.hash_array(np.array(grams, dtype=object), categorize=False)
+    """Single-document wrapper over ``shingle_hashes_batch`` (one
+    source of truth: every consumer — MinHash, SimHash, Jaccard
+    verification — sees identical shingle hash values)."""
+    return shingle_hashes_batch([text], k)[0]
 
 
 def jaccard(a: set, b: set) -> float:

@@ -1387,6 +1387,99 @@ def q_image_issue_subtrees(sf_dir: str):
     return agg.map_batches(cast, batch_format="pyarrow")
 
 
+def q_image_verdict_meta(sf_dir: str):
+    """Verdict roll-up over the metadata-rule subset, hash-checked
+    against a DuckDB replica of the reduce itself (max severity +
+    issue count + uniqueness escalation per record — the reference's
+    ``FatalIssuesDetected`` outcome partitioning, Tests.scala:45-56).
+    Runs BOTH reduce strategies (vectorized driver fast path and the
+    distributed hash aggregate) and asserts they agree before returning
+    (VERDICT r2 #3)."""
+    from .verdicts import verdicts_with_unique
+
+    ids = rd.read_parquet(
+        _corrupt_fixture_path(), columns=["image_id", PARTITION_COL]
+    ).materialize()
+    viol = _image_meta_violations(sf_dir).materialize()
+
+    def canon(v: rd.Dataset):
+        df = _as_table(v).to_pandas()
+        df["partition_id"] = df["partition_id"].astype("int64")
+        return df.sort_values("record_id", na_position="last").reset_index(
+            drop=True
+        )
+
+    a = canon(verdicts_with_unique(ids, viol, strategy="driver")[0])
+    b = canon(verdicts_with_unique(ids, viol, strategy="shuffle")[0])
+    if not a.equals(b):
+        diff = (a != b) & ~(a.isna() & b.isna())
+        raise AssertionError(
+            f"driver and shuffle verdict reduces disagree:\n"
+            f"{a[diff.any(axis=1)].head()}\n{b[diff.any(axis=1)].head()}"
+        )
+    return pa.table(
+        {
+            "record_id": pa.array(a["record_id"], pa.string()),
+            "verdict": pa.array(a["verdict"], pa.string()),
+            "n_issues": pa.array(a["n_issues"], pa.int64()),
+            "accepted": pa.array(a["accepted"], pa.bool_()),
+            "partition_id": pa.array(a["partition_id"], pa.int64()),
+        }
+    )
+
+
+def _image_verdict_oracle_sql() -> str:
+    """DuckDB replica of the verdict reduce: per-record max severity
+    rank over the meta-rule violations, +1 issue and an error-rank
+    escalation for duplicated ids, fatal ⇒ not accepted.  NULL record
+    ids form ONE group (chr(1) sentinel — same contract as the
+    engine's NULL_ID_SENTINEL)."""
+    from .. import SEVERITY_RANK
+    from ..stages.unique import SEVERITY as UQ_SEVERITY
+
+    uq_rank = SEVERITY_RANK[UQ_SEVERITY]
+    fatal_rank = SEVERITY_RANK["fatal"]
+    src = f"read_parquet('{_corrupt_fixture_pathname()}')"
+    return f"""
+    WITH viol AS (
+        SELECT COALESCE(record_id, chr(1)) AS rid, severity
+        FROM ({_image_meta_oracle_union()})
+    ),
+    occ AS (
+        SELECT COALESCE(image_id, chr(1)) AS rid,
+               MAX(image_id) AS record_id,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               MAX(partition_id) AS pid
+        FROM {src} GROUP BY 1
+    ),
+    vagg AS (
+        SELECT rid,
+               MAX(CASE severity WHEN 'info' THEN 0 WHEN 'warning' THEN 1
+                   WHEN 'error' THEN 2 WHEN 'fatal' THEN 3 END) AS vrank,
+               CAST(COUNT(*) AS BIGINT) AS nv
+        FROM viol GROUP BY rid
+    ),
+    j AS (
+        SELECT occ.record_id, occ.pid,
+               GREATEST(COALESCE(vagg.vrank, -1),
+                        CASE WHEN occ.n_occ > 1 THEN {uq_rank} ELSE -1 END)
+                   AS grank,
+               CAST(COALESCE(vagg.nv, 0)
+                    + CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END AS BIGINT)
+                   AS n_issues
+        FROM occ LEFT JOIN vagg ON occ.rid = vagg.rid
+    )
+    SELECT record_id,
+           CASE grank WHEN -1 THEN 'pass' WHEN 0 THEN 'info'
+                WHEN 1 THEN 'warning' WHEN 2 THEN 'error'
+                ELSE 'fatal' END AS verdict,
+           n_issues,
+           grank < {fatal_rank} AS accepted,
+           CAST(pid AS BIGINT) AS partition_id
+    FROM j ORDER BY record_id
+    """
+
+
 def _image_meta_oracle_union() -> str:
     """DuckDB replica of every metadata rule kernel incl. gating — one
     SELECT per rule, UNION ALL'd.  Reads the same parquet the Ray side
@@ -1693,6 +1786,7 @@ QUERIES = {
     "tdigest_value_quantiles": q_tdigest_value_quantiles,
     "image_validate": q_image_validate,
     "image_validate_meta": q_image_validate_meta,
+    "image_verdict_meta": q_image_verdict_meta,
     "image_issue_subtrees": q_image_issue_subtrees,
     "image_verdict_summary": q_image_verdict_summary,
     "image_stats_profile": q_image_stats_profile,
@@ -1709,6 +1803,7 @@ ORACLE_SQL["check_cardinality_lang"] = """
     GROUP BY lang HAVING count(*) < 75"""
 ORACLE_SQL["events_sessions_streaming"] = ORACLE_SQL["events_sessions_per_user"]
 ORACLE_SQL["image_validate_meta"] = _image_meta_oracle_sql()
+ORACLE_SQL["image_verdict_meta"] = _image_verdict_oracle_sql()
 ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()
 ORACLE_SQL["image_phash_dupgroups"] = f"""
     SELECT phash, MIN(image_id) AS keep_id, CAST(count(*) AS BIGINT) AS n

@@ -270,3 +270,30 @@ def test_path_composition_at():
     # default registry is fully hierarchical: every path has >= 2 segments
     for rule in default_image_ruleset().rules:
         assert rule.path.startswith("/record")
+
+
+def test_permissions_spi_round_trip():
+    """PermissionTests.scala analog: the SPI yields a non-empty set and
+    every printed permission name parses back to its permission."""
+    from mtb_validation_service_ray.rules.permissions import (
+        IMAGE_VALIDATION_PERMISSIONS,
+        get_permissions,
+        register_permissions,
+        validation_roles,
+        PermissionSet,
+    )
+
+    perms = get_permissions("image-validation")  # SPI must have worked
+    assert perms is IMAGE_VALIDATION_PERMISSIONS
+    assert len(perms.all()) > 0  # permission set non-empty
+    # name round-trip: parse(p.name) recovers exactly the set
+    assert {perms.parse(p.name) for p in perms} == set(perms.all())
+    assert perms.parse("other-domain:read_validation_report") is None
+    # roles: viewer ⊂ validator, revalidate is validator-only
+    roles = validation_roles(perms)
+    assert roles["viewer"].permissions < roles["validator"].permissions
+    reval = perms.parse("image-validation:revalidate")
+    assert reval in roles["validator"] and reval not in roles["viewer"]
+    # foreign providers register through the same SPI
+    register_permissions("other", lambda: PermissionSet("other"))
+    assert get_permissions("other").domain == "other"
