@@ -218,3 +218,45 @@ def test_distributed_watermark_bounds_state():
     )
     total = int(res.sessions.column("n_events").to_pandas().sum()) + res.n_late
     assert total == t.num_rows  # every event accounted: in a session or late
+
+
+def test_distributed_throughput_scales_with_shards():
+    """The parallel-ingest sessionizer's throughput axis: more shard
+    actors process the same 300k-event log materially faster (the
+    feeders' routing is ~free; shards own the folds)."""
+    import time
+
+    from mtb_validation_service_ray.stages.streaming import (
+        stream_sessions_distributed,
+    )
+
+    n = 300_000
+    rng = np.random.default_rng(9)
+    base = np.datetime64("2024-01-01", "us")
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+            "ts": pa.array(
+                base
+                + rng.integers(0, 30 * 86_400_000_000, n).astype("timedelta64[us]")
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8).materialize()
+
+    def run(shards):
+        t0 = time.time()
+        res = stream_sessions_distributed(
+            ds, key_col="user_id", ts_col="ts", gap_seconds=3600.0,
+            num_shards=shards, num_feeders=2, batch_size=8192,
+        )
+        return time.time() - t0, res.sessions.num_rows
+
+    # interleave to decorrelate with box noise; keep best per config
+    t2a, n2 = run(2)
+    t8a, n8 = run(8)
+    t2b, _ = run(2)
+    t8b, _ = run(8)
+    assert n2 == n8  # same sessions either way
+    speedup = min(t2a, t2b) / min(t8a, t8b)
+    assert speedup > 1.4, (t2a, t2b, t8a, t8b)
