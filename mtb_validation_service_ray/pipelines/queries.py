@@ -1071,6 +1071,83 @@ def q_dedup_duplicate_clusters(sf_dir: str):
     return clusters.sort_by([("id", "ascending")])
 
 
+def q_dedup_cc_pairs(sf_dir: str):
+    """Connected components with a FULL DuckDB oracle (recursive CTE):
+    the edge set is SQL-derivable — two users are linked when they are
+    the exactly-two distinct users active in some (event_type, minute)
+    bucket — so the cluster labels themselves hash-check (the LSH chain
+    stays rows-only because its candidates are hash-function-dependent).
+    Edge derivation is two vectorized aggregates (distinct triples,
+    then per-bucket min/max/count — no per-group Python).  The
+    driver/distributed CC strategy equivalence over this same edge
+    derivation is asserted in tests/test_ingest_cc.py (running the
+    multi-round distributed fixpoint here would triple the query's
+    wall for no extra coverage)."""
+    from ..stages.dedup import connected_components
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_minute(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "minute": pc.floor_temporal(batch.column("ts"), unit="minute"),
+                "user_id": batch.column("user_id"),
+            }
+        )
+
+    distinct = (
+        ds.map_batches(add_minute, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "minute", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    per_bucket = distinct.groupby(["event_type", "minute"]).aggregate(
+        Min("user_id", alias_name="u_min"),
+        Max("user_id", alias_name="u_max"),
+        Count(alias_name="n_users"),
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        two = batch.filter(pc.equal(batch.column("n_users"), 2))
+        return pa.table(
+            {
+                "doc_a": two.column("u_min").cast(pa.int64()),
+                "doc_b": two.column("u_max").cast(pa.int64()),
+            }
+        )
+
+    e = per_bucket.map_batches(edges, batch_format="pyarrow")
+    return connected_components(e, strategy="auto").sort_by(
+        [("id", "ascending")]
+    )
+
+
+_CC_PAIRS_ORACLE = """
+WITH RECURSIVE
+tri AS (
+    SELECT DISTINCT event_type, date_trunc('minute', ts) AS minute, user_id
+    FROM events
+),
+per_bucket AS (
+    SELECT event_type, minute,
+           MIN(user_id) AS u_min, MAX(user_id) AS u_max, COUNT(*) AS n_users
+    FROM tri GROUP BY 1, 2
+),
+edges AS (
+    SELECT DISTINCT CAST(u_min AS BIGINT) AS sa, CAST(u_max AS BIGINT) AS sb
+    FROM per_bucket WHERE n_users = 2
+),
+nodes AS (SELECT sa AS id FROM edges UNION SELECT sb FROM edges),
+sym AS (SELECT sa, sb FROM edges UNION SELECT sb, sa FROM edges),
+reach(id, lbl) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT s.sb, r.lbl FROM reach r JOIN sym s ON s.sa = r.id
+)
+SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id
+"""
+
+
 def q_hll_distinct_users(sf_dir: str):
     """HyperLogLog distinct estimate (rows-only; ±2% vs the exact
     query, asserted in tests)."""
@@ -1787,6 +1864,7 @@ QUERIES = {
     "image_validate": q_image_validate,
     "image_validate_meta": q_image_validate_meta,
     "image_verdict_meta": q_image_verdict_meta,
+    "dedup_cc_pairs": q_dedup_cc_pairs,
     "image_issue_subtrees": q_image_issue_subtrees,
     "image_verdict_summary": q_image_verdict_summary,
     "image_stats_profile": q_image_stats_profile,
@@ -1804,6 +1882,7 @@ ORACLE_SQL["check_cardinality_lang"] = """
 ORACLE_SQL["events_sessions_streaming"] = ORACLE_SQL["events_sessions_per_user"]
 ORACLE_SQL["image_validate_meta"] = _image_meta_oracle_sql()
 ORACLE_SQL["image_verdict_meta"] = _image_verdict_oracle_sql()
+ORACLE_SQL["dedup_cc_pairs"] = _CC_PAIRS_ORACLE
 ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()
 ORACLE_SQL["image_phash_dupgroups"] = f"""
     SELECT phash, MIN(image_id) AS keep_id, CAST(count(*) AS BIGINT) AS n

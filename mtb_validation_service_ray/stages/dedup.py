@@ -604,9 +604,16 @@ def connected_components(
             pairs, a_col=a_col, b_col=b_col, max_rounds=max_rounds
         )
 
-    t = pairs if isinstance(pairs, pa.Table) else pa.concat_tables(
-        pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
-    )
+    if isinstance(pairs, pa.Table):
+        t = pairs
+    else:
+        tabs = list(pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        t = (
+            pa.concat_tables(tabs)
+            if tabs
+            else pa.table({a_col: pa.array([], pa.int64()),
+                           b_col: pa.array([], pa.int64())})
+        )
     if t.num_rows == 0:
         return pa.table({"id": pa.array([], pa.int64()),
                          "cluster": pa.array([], pa.int64())})
@@ -652,15 +659,27 @@ def _cc_distributed(
     b_col: str,
     max_rounds: int | None,
 ) -> pa.Table:
-    """Distributed min-label propagation: each round joins the symmetric
-    edge list to the current labels (hash join on dst) and folds with a
-    groupby-min.  Labels only ever decrease, so the exact join-based
-    changed-count reaching 0 is the fixpoint.  Per-round cost: one join
-    + two groupbys over (node, label) rows — never the full corpus, and
-    nothing driver-side until the final (one row per node) collect."""
+    """Distributed min-label propagation, JOIN-FREE: each round routes
+    label rows and symmetric edge rows into the same hash bucket (one
+    shuffle) and a vectorized pandas merge inside each bucket produces
+    the neighbor messages; a groupby-min folds them into new labels.
+
+    Ray's join operator is deliberately avoided here: with small or
+    skewed input its per-partition pyarrow join fails outright on
+    empty partitions ("no match for FieldRef ... on left side") — the
+    bucketed-merge exchange has no such edge case and matches the
+    engine's other shuffles (stages/dedup.py bucket pattern).
+
+    Fixpoint detection without a join: labels are monotone
+    non-increasing and the node set is fixed after initialization, so
+    the exact total of all labels (Python big-int sum of per-block
+    partial sums — no int64 overflow at any scale) is strictly
+    decreasing until convergence; an unchanged sum IS the fixpoint.
+    Per-round cost: one bucket shuffle + one groupby over (node,
+    label)/(edge) rows — never the full corpus, and nothing
+    driver-side until the final (one row per node) collect."""
     import ray
 
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
     pairs_ds = pairs if isinstance(pairs, rd.Dataset) else rd.from_arrow(pairs)
 
     def sym(batch: pa.Table) -> pa.Table:
@@ -671,10 +690,74 @@ def _cc_distributed(
             ]
         )
 
-    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    sym_edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = sym_edges.count()
+    # Ray's sort-based exchanges cost ~0.3 s per partition REGARDLESS of
+    # rows (BASELINE.md), and this loop runs O(graph diameter) rounds —
+    # size the bucket count to the data so toy graphs do not pay
+    # #CPUs-of-floor per round while huge graphs still spread
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_buckets = max(1, min(max(8, cpus), n_edges // 50_000 + 1))
+
+    def bucket_edges(batch: pa.Table) -> pa.Table:
+        # key the edge by dst: the bucket merge attaches dst's label and
+        # emits it to src.  `side` markers instead of nulls — a null int
+        # column would coerce to float64 in the pandas bucket body
+        h = hash64(batch.column("dst").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": batch.column("dst"),
+                "val": batch.column("src"),
+                "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+                "_bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+            }
+        )
+
+    edges = (
+        sym_edges.map_batches(bucket_edges, batch_format="pyarrow")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    id_type = edges.schema().base_schema.field("val").type
+
+    def bucket_labels(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id" not in batch.column_names:
+            return pa.table(
+                {
+                    "key": pa.array([], id_type),
+                    "val": pa.array([], id_type),
+                    "side": pa.array([], pa.int8()),
+                    "_bucket": pa.array([], pa.int32()),
+                }
+            )
+        h = hash64(batch.column("id").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": batch.column("id"),
+                "val": batch.column("label"),
+                "side": pa.array(np.ones(len(batch), dtype=np.int8)),
+                "_bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+            }
+        )
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group[group["side"] == 1][["key", "val"]].rename(
+            columns={"val": "label"}
+        )
+        edg = group[group["side"] == 0][["key", "val"]].rename(
+            columns={"val": "id"}
+        )
+        if not len(lab) or not len(edg):
+            return pd.DataFrame(
+                {"id": pd.Series(dtype=group["val"].dtype),
+                 "label": pd.Series(dtype=group["val"].dtype)}
+            )
+        m = edg.merge(lab, on="key", how="inner")
+        return pd.DataFrame({"id": m["id"], "label": m["label"]})
+
     labels = (
         edges.map_batches(
-            lambda b: pa.table({"id": b.column("src"), "label": b.column("src")}),
+            lambda b: pa.table({"id": b.column("val"), "label": b.column("val")}),
             batch_format="pyarrow",
         )
         .groupby("id")
@@ -682,61 +765,62 @@ def _cc_distributed(
         .materialize()
     )
 
+    def label_sum(ds: rd.Dataset) -> int:
+        total = 0
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            if b.num_rows and "label" in b.column_names:
+                total += sum(b.column("label").to_pylist())
+        return total
+
+    prev_sum = label_sum(labels)
     rounds = 0
     while True:
-        msgs = edges.join(
-            labels, join_type="inner", num_partitions=n_parts,
-            on=("dst",), right_on=("id",),
-        ).map_batches(
-            lambda b: pa.table({"id": b.column("src"), "label": b.column("label")}),
-            batch_format="pyarrow",
+        tagged = edges.union(
+            labels.map_batches(bucket_labels, batch_format="pyarrow")
         )
-        new_labels = (
+        def msgs_to_arrow(b: pa.Table) -> pa.Table:
+            # normalize the pandas map_groups blocks to typed Arrow so
+            # the union with the (Arrow) label blocks is homogeneous
+            if b.num_rows == 0 or "id" not in b.column_names:
+                return pa.table(
+                    {"id": pa.array([], id_type), "label": pa.array([], id_type)}
+                )
+            return pa.table(
+                {"id": b.column("id").cast(id_type),
+                 "label": b.column("label").cast(id_type)}
+            )
+
+        msgs = (
+            tagged.groupby("_bucket")
+            .map_groups(merge_bucket, batch_format="pandas")
+            .map_batches(msgs_to_arrow, batch_format="pyarrow")
+        )
+        labels = (
             labels.union(msgs)
+            .repartition(n_buckets)
             .groupby("id")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        # exact convergence check: count nodes whose label decreased
-        diff = new_labels.join(
-            labels.map_batches(
-                lambda b: pa.table(
-                    {"id": b.column("id"), "_old": b.column("label")}
-                ),
-                batch_format="pyarrow",
-            ),
-            join_type="inner", num_partitions=n_parts, on=("id",),
-        )
-
-        def changed(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            n = pc.sum(
-                pc.cast(
-                    pc.not_equal(batch.column("label"), batch.column("_old")),
-                    pa.int64(),
-                )
-            ).as_py() or 0
-            return pa.table({"n": pa.array([n], pa.int64())})
-
-        n_changed = sum(
-            b.column("n")[0].as_py()
-            for b in diff.map_batches(changed, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow", batch_size=1 << 16
-            )
-        )
-        labels = new_labels
-        if n_changed == 0:
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
         rounds += 1
         if max_rounds is not None and rounds >= max_rounds:
             raise RuntimeError(
                 f"connected_components did not converge in {max_rounds} rounds"
             )
 
-    out = pa.concat_tables(
-        labels.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
-    )
+    out_tabs = [
+        b
+        for b in labels.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        if b.num_rows and "id" in b.column_names
+    ]
+    if not out_tabs:
+        return pa.table({"id": pa.array([], id_type),
+                         "cluster": pa.array([], id_type)})
+    out = pa.concat_tables(out_tabs)
     return pa.table({"id": out.column("id"), "cluster": out.column("label")})
 
 

@@ -112,3 +112,58 @@ def test_connected_components_distributed_equivalence():
     assert set(drv[drv.id.isin(star)].cluster) == {200}
     assert set(drv[drv.id.isin(clique)].cluster) == {300}
     assert set(drv[drv.id.isin([400, 401])].cluster) == {400}
+
+
+def test_cc_strategies_agree_on_event_pair_graph():
+    """Driver and distributed CC agree on the same SQL-derivable edge
+    set the dedup_cc_pairs oracle query uses (sf0.001 events)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    from mtb_validation_service_ray.stages.dedup import connected_components
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def add_minute(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                # hour buckets: sf0.001 is too sparse for 2-user MINUTES
+                "minute": pc.floor_temporal(batch.column("ts"), unit="hour"),
+                "user_id": batch.column("user_id"),
+            }
+        )
+
+    per_bucket = (
+        ds.map_batches(add_minute, batch_format="pyarrow")
+        .groupby(["event_type", "minute", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby(["event_type", "minute"])
+        .aggregate(
+            Min("user_id", alias_name="u_min"),
+            Max("user_id", alias_name="u_max"),
+            Count(alias_name="n_users"),
+        )
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        two = batch.filter(pc.equal(batch.column("n_users"), 2))
+        return pa.table(
+            {
+                "doc_a": two.column("u_min").cast(pa.int64()),
+                "doc_b": two.column("u_max").cast(pa.int64()),
+            }
+        )
+
+    e = per_bucket.map_batches(edges, batch_format="pyarrow").materialize()
+    assert e.count() > 0
+    a = connected_components(e, strategy="driver").sort_by([("id", "ascending")])
+    b = connected_components(e, strategy="distributed").sort_by(
+        [("id", "ascending")]
+    )
+    assert a.equals(b)
