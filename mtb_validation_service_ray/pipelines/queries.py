@@ -344,6 +344,10 @@ def q_agg_pricing_summary(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # the partial stream is ≤ a few rows per input block — coalesce
+        # before the sort-based aggregate (cost scales with input
+        # blocks × output partitions, BASELINE.md decision #4)
+        .repartition(4)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("s_qty", alias_name="t_qty"),

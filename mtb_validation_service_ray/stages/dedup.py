@@ -301,9 +301,13 @@ def minhash_lsh_candidates(
         # never cover every CPU: a pool summing to the cluster starves
         # the read tasks and deadlocks the pipeline
         concurrency = max(1, min(cpus // 2, cpus - 1))
+    # explicit batch_size: Ray's read auto-split produces ~2×CPU tiny
+    # blocks on small tables; bundling them into real batches keeps the
+    # per-task overhead (actor hop + slab setup) amortized
     band_rows = ds.map_batches(
         MinHashStage,
         batch_format="pyarrow",
+        batch_size=4096,
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perm=num_perm,
             bands=bands, shingle_k=shingle_k,
@@ -912,6 +916,7 @@ def simhash_candidates(
     with_hash = ds.map_batches(
         SimHashStage,
         batch_format="pyarrow",
+        batch_size=4096,
         fn_constructor_kwargs={"text_col": text_col},
         concurrency=concurrency,
     )
