@@ -1075,6 +1075,150 @@ def q_dedup_duplicate_clusters(sf_dir: str):
     return clusters.sort_by([("id", "ascending")])
 
 
+def q_text_jaccard_adjacent(sf_dir: str):
+    """Exact n-gram Jaccard VERIFICATION kernel, hash-checked: the pair
+    set is deterministic and SQL-derivable (adjacent doc ids where both
+    docs have ≥ 5 tokens — no LSH hash dependence), so DuckDB can
+    recompute every word-5-gram Jaccard value from scratch and the
+    engine's ``verify_jaccard_pairs`` must match it value-for-value.
+    Pair derivation is one aggregate (each eligible doc d votes for
+    pairs (d−1, d) and (d, d+1); a pair exists when it gets both
+    votes) — no driver-side id collection."""
+    from ..stages.dedup import verify_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def votes(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ok = np.array(
+            [t is not None and len(t.lower().split()) >= 5 for t in texts]
+        )
+        d = ids[ok]
+        # vote (pair_id=d, side left) and (pair_id=d-1, side right):
+        # pair (p, p+1) exists iff pair_id p collects BOTH votes
+        return pa.table(
+            {
+                "pair_id": pa.array(
+                    np.concatenate([d, d - 1]).astype(np.int64), pa.int64()
+                ),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(d), np.int8), np.ones(len(d), np.int8)]
+                    )
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(votes, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
+        .groupby("pair_id")
+        .aggregate(Count(alias_name="n_votes"))
+    )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        both = batch.filter(
+            pc.and_(
+                pc.equal(batch.column("n_votes"), 2),
+                pc.greater_equal(batch.column("pair_id"), 0),
+            )
+        )
+        a = both.column("pair_id").cast(pa.int64())
+        return pa.table({"doc_a": a, "doc_b": pc.add(a, 1)})
+
+    pairs = agg.map_batches(to_pairs, batch_format="pyarrow")
+    verified = verify_jaccard_pairs(pairs, ds, threshold=0.0)
+    t = _as_table(verified)
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    return pa.table(
+        {
+            "doc_a": t.column("doc_a").cast(pa.int64()),
+            "doc_b": t.column("doc_b").cast(pa.int64()),
+            "jaccard": t.column("jaccard"),
+        }
+    ).sort_by("doc_a")
+
+
+_JACCARD_ADJACENT_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+ok AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 5),
+grams AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(range(1, n - 3),
+                              i -> array_to_string(t[i:i+4], ' '))
+           ) AS g
+    FROM ok
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g AS ga, b.g AS gb
+    FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+             / len(list_distinct(list_concat(ga, gb))), 6) AS jaccard
+FROM pairs ORDER BY doc_a
+"""
+
+
+def q_text_fingerprint_groups(sf_dir: str):
+    """Document-fingerprint DUPLICATE GROUPS, hash-checked: the 64-bit
+    fingerprint values themselves are engine-internal, but the
+    partition they induce (docs equal up to case/whitespace) is exactly
+    reproducible in SQL — so the groups (keep_id = min doc_id, n) get a
+    full oracle while ``text_fingerprint`` stays rows-only."""
+    from ..functions.textfn import fingerprint64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "fp": fingerprint64(batch.column("text")),
+            }
+        )
+
+    groups = duplicate_groups(
+        ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"], id_col="doc_id",
+    )
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "keep_id": batch.column("keep_id").cast(pa.int64()),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return _with_schema(
+        groups.map_batches(out, batch_format="pyarrow").sort("keep_id"),
+        pa.schema([("keep_id", pa.int64()), ("n", pa.int64())]),
+    )
+
+
+_FINGERPRINT_GROUPS_ORACLE = """
+SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT doc_id,
+           regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g') AS norm
+    FROM documents
+)
+GROUP BY norm HAVING COUNT(*) > 1
+ORDER BY keep_id
+"""
+
+
 def q_dedup_cc_pairs(sf_dir: str):
     """Connected components with a FULL DuckDB oracle (recursive CTE):
     the edge set is SQL-derivable — two users are linked when they are
@@ -1869,6 +2013,8 @@ QUERIES = {
     "image_validate_meta": q_image_validate_meta,
     "image_verdict_meta": q_image_verdict_meta,
     "dedup_cc_pairs": q_dedup_cc_pairs,
+    "text_jaccard_adjacent": q_text_jaccard_adjacent,
+    "text_fingerprint_groups": q_text_fingerprint_groups,
     "image_issue_subtrees": q_image_issue_subtrees,
     "image_verdict_summary": q_image_verdict_summary,
     "image_stats_profile": q_image_stats_profile,
@@ -1887,6 +2033,8 @@ ORACLE_SQL["events_sessions_streaming"] = ORACLE_SQL["events_sessions_per_user"]
 ORACLE_SQL["image_validate_meta"] = _image_meta_oracle_sql()
 ORACLE_SQL["image_verdict_meta"] = _image_verdict_oracle_sql()
 ORACLE_SQL["dedup_cc_pairs"] = _CC_PAIRS_ORACLE
+ORACLE_SQL["text_jaccard_adjacent"] = _JACCARD_ADJACENT_ORACLE
+ORACLE_SQL["text_fingerprint_groups"] = _FINGERPRINT_GROUPS_ORACLE
 ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()
 ORACLE_SQL["image_phash_dupgroups"] = f"""
     SELECT phash, MIN(image_id) AS keep_id, CAST(count(*) AS BIGINT) AS n

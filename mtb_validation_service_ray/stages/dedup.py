@@ -39,6 +39,14 @@ from ray.data.aggregate import Count, Min
 from ..functions.sketches import hash64
 from ..functions.textfn import jaccard, shingle_hashes, shingle_hashes_batch
 
+
+def _round6(x: float) -> float:
+    """Round half AWAY FROM ZERO to 6 places (x ≥ 0) — matches DuckDB
+    ROUND so oracle value-hashes line up (Python round is half-even)."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
 DEFAULT_NUM_BUCKETS = 1024
 # per collision-group pair cap: a band/chunk group of k members emits all
 # C(k,2) pairs only while that stays under the cap; beyond it the group
@@ -499,7 +507,7 @@ def verify_jaccard_pairs(
                 if j >= threshold:
                     out_a.append(a)
                     out_b.append(b)
-                    out_j.append(round(j, 6))
+                    out_j.append(_round6(j))
             return pa.table(
                 {"doc_a": pa.array(out_a, batch.column("doc_a").type),
                  "doc_b": pa.array(out_b, batch.column("doc_b").type),
@@ -555,7 +563,7 @@ def verify_jaccard_pairs(
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
-                out_j.append(round(j, 6))
+                out_j.append(_round6(j))
         return pa.table(
             {"doc_a": pa.array(out_a, batch.column("doc_a").type),
              "doc_b": pa.array(out_b, batch.column("doc_b").type),

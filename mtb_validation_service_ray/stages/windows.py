@@ -60,13 +60,37 @@ def latest_event_per_key(
     key_col: str = "user_id",
     ts_col: str = "ts",
 ) -> rd.Dataset:
-    """Grouped arg-max: last timestamp + event count per key via
-    vectorized aggregates (Max/Count) — one shuffle, no per-group
-    Python.  (Reference analog: responses.groupBy(therapy)
-    .map(maxBy(effectiveDate)), MTBValidators.scala:686-692.)"""
-    return ds.groupby(key_col).aggregate(
-        Max(ts_col, alias_name="last_ts"),
-        Count(alias_name="n_events"),
+    """Grouped arg-max: last timestamp + event count per key.
+    (Reference analog: responses.groupBy(therapy)
+    .map(maxBy(effectiveDate)), MTBValidators.scala:686-692.)
+
+    Partial-aggregate inside map_batches (max-of-maxes, sum-of-counts
+    are re-entrant), coalesce the small partial stream, then one tiny
+    shuffle — the raw whole-table groupby paid the sort-exchange floor
+    on every input block."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key_col]).aggregate(
+            [(ts_col, "max"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                key_col: g.column(key_col),
+                "last_ts": g.column(f"{ts_col}_max"),
+                "n_events": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 8)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(n_parts)
+        .groupby(key_col)
+        .aggregate(
+            Max("last_ts", alias_name="last_ts"),
+            Sum("n_events", alias_name="n_events"),
+        )
     )
 
 
