@@ -46,7 +46,7 @@ from ..stages.dedup import duplicate_groups, minhash_lsh_candidates, simhash_can
 from ..stages.similarity import cosine_near_dups, knn_brute
 from ..stages.stats import profile_stats, stats_report
 from ..stages.windows import latest_event_per_key, session_windows, tumbling_window_agg
-from .validate import run_validation
+from .validate import run_validation, run_validation_fused
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -1092,7 +1092,8 @@ def q_text_jaccard_adjacent(sf_dir: str):
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         ok = np.array(
-            [t is not None and len(t.lower().split()) >= 5 for t in texts]
+            [t is not None and len(t.lower().split()) >= 5 for t in texts],
+            dtype=bool,
         )
         d = ids[ok]
         # vote (pair_id=d, side left) and (pair_id=d-1, side right):
@@ -1114,13 +1115,18 @@ def q_text_jaccard_adjacent(sf_dir: str):
         ds.map_batches(votes, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(4)
         .groupby("pair_id")
-        .aggregate(Count(alias_name="n_votes"))
+        .aggregate(Count(alias_name="n_votes"), Sum("side", alias_name="side_sum"))
     )
 
     def to_pairs(batch: pa.Table) -> pa.Table:
+        # exactly one vote from EACH side (count alone would accept two
+        # same-side votes if ids were ever non-unique)
         both = batch.filter(
             pc.and_(
-                pc.equal(batch.column("n_votes"), 2),
+                pc.and_(
+                    pc.equal(batch.column("n_votes"), 2),
+                    pc.equal(batch.column("side_sum"), 1),
+                ),
                 pc.greater_equal(batch.column("pair_id"), 0),
             )
         )
@@ -1390,14 +1396,16 @@ def q_image_validate(sf_dir: str):
     """Flagship: full rule-set validation over the synthesized image
     table — returns the violations table (clean input ⇒ 0 rows)."""
     d = _image_fixture_dir()
-    res = run_validation(d, include_unique=True)
+    # fused single-read single-pool variant — equivalence with the
+    # modular run_validation is asserted in tests/test_fused.py
+    res = run_validation_fused(d, include_unique=True)
     return _as_table(res.violations)
 
 
 def q_image_verdict_summary(sf_dir: str):
     """Verdict roll-up counts for the image table."""
     d = _image_fixture_dir()
-    res = run_validation(d)
+    res = run_validation_fused(d)
     agg = res.verdicts.groupby("verdict").aggregate(Count(alias_name="n"))
     return _as_table(agg)
 

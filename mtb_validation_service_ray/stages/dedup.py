@@ -778,10 +778,22 @@ def _cc_distributed(
     )
 
     def label_sum(ds: rd.Dataset) -> int:
+        # per-block partial sums computed IN the cluster; the driver
+        # folds one small decimal row per block (Python big ints — no
+        # int64 overflow at any scale, no per-round row streaming)
+        def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "label" not in b.column_names:
+                return pa.table({"s": pa.array([], pa.string())})
+            # exact Python big-int block sum, shipped as a string
+            v = b.column("label").to_pylist()
+            return pa.table({"s": pa.array([str(sum(v))], pa.string())})
+
         total = 0
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
-            if b.num_rows and "label" in b.column_names:
-                total += sum(b.column("label").to_pylist())
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 16
+        ):
+            for x in b.column("s").to_pylist():
+                total += int(x)
         return total
 
     prev_sum = label_sum(labels)

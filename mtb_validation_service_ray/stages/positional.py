@@ -49,10 +49,15 @@ def fold_heads(pids, oids) -> dict[int, str]:
 
 
 def non_head_mask(pids, oids, heads: dict[int, str]) -> list[bool]:
-    """True for candidates that are NOT their partition's head (rows
-    with a null pid have no head and count as tail)."""
+    """True for candidates that are NOT their partition's head.  Rows
+    with a null pid, or in a partition with NO head (every order key
+    null), have no exempt head and count as tail — the same rule the
+    distributed broadcast-heads judge applies (``heads.get(pid) != oid``
+    alone would pass a null-oid candidate in a head-less partition:
+    None != None is False)."""
     return [
-        pid is None or heads.get(pid) != oid for pid, oid in zip(pids, oids)
+        pid is None or pid not in heads or heads[pid] != oid
+        for pid, oid in zip(pids, oids)
     ]
 
 

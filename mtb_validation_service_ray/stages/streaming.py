@@ -86,6 +86,12 @@ class SessionShard:
         # intervals, pairwise separated by > gap
         self.open: dict[str, list[list[int]]] = {}
         self.n_late = 0
+        self.n_null_keys = 0
+        # max watermark THIS SHARD has seen — lateness and closes must
+        # use the same monotone clock, or (multi-feeder) an event judged
+        # against one feeder's stale watermark could chain into an
+        # interval another feeder's newer watermark already closed
+        self.max_wm_us = _NEG_INF
 
     def _merge(self, key: str, segs: list[list[int]]) -> None:
         """Gap-chained interval union: order-independent, so arrival
@@ -131,6 +137,11 @@ class SessionShard:
         ARRIVAL (before this batch advanced it) — a batch can never make
         its own events late."""
         closed: list[tuple[str, int, int, int]] = []
+        # the shard's clock is monotone over everything it has seen —
+        # arrival lateness is judged against it (never a stale feeder
+        # watermark), so an accepted event can never chain into an
+        # interval a newer watermark already closed
+        self.max_wm_us = max(self.max_wm_us, arrival_watermark_us)
         if table.num_rows:
             import pandas as pd
 
@@ -141,7 +152,15 @@ class SessionShard:
                 .to_numpy(zero_copy_only=False)
                 .astype("int64")
             )
-            late = ts < (arrival_watermark_us - self.gap_us)
+            # null keys cannot be sessionized: factorize would code
+            # them -1, colliding with the loop sentinel and silently
+            # gluing their segments onto another key (review finding) —
+            # drop them with an explicit counter instead
+            null_keys = pd.isna(keys)
+            if null_keys.any():
+                self.n_null_keys += int(null_keys.sum())
+                keys, ts = keys[~null_keys], ts[~null_keys]
+            late = ts < (self.max_wm_us - self.gap_us)
             self.n_late += int(late.sum())
             if late.any():
                 keys, ts = keys[~late], ts[~late]
@@ -170,14 +189,16 @@ class SessionShard:
                     segs.append([int(seg_s[i]), int(seg_e[i]), int(seg_n[i])])
                 if prev != -1:
                     self._merge(str(uniq[prev]), segs)
-        self._close_expired(watermark_us, closed)
+        self.max_wm_us = max(self.max_wm_us, watermark_us)
+        self._close_expired(self.max_wm_us, closed)
         return self._to_table(closed)
 
     def advance(self, watermark_us: int) -> pa.Table:
         """Watermark-only tick for shards that received no rows this
         batch — idle sessions still expire."""
         closed: list[tuple[str, int, int, int]] = []
-        self._close_expired(watermark_us, closed)
+        self.max_wm_us = max(self.max_wm_us, watermark_us)
+        self._close_expired(self.max_wm_us, closed)
         return self._to_table(closed)
 
     def flush(self) -> pa.Table:
@@ -191,6 +212,9 @@ class SessionShard:
 
     def late_count(self) -> int:
         return self.n_late
+
+    def null_key_count(self) -> int:
+        return self.n_null_keys
 
     @staticmethod
     def _to_table(closed) -> pa.Table:
@@ -215,6 +239,7 @@ class SessionShard:
 class StreamResult:
     sessions: pa.Table
     n_late: int
+    n_null_keys: int = 0
 
 
 def _default_num_shards() -> int:
@@ -295,6 +320,7 @@ class StreamingSessionizer:
             t for t in ray.get([s.flush.remote() for s in self.shards]) if t.num_rows
         )
         n_late = sum(ray.get([s.late_count.remote() for s in self.shards]))
+        n_null = sum(ray.get([s.null_key_count.remote() for s in self.shards]))
         for s in self.shards:
             ray.kill(s)
         out = (
@@ -305,6 +331,7 @@ class StreamingSessionizer:
                 [("key", "ascending"), ("session_start", "ascending")]
             ),
             n_late=n_late,
+            n_null_keys=n_null,
         )
 
 
@@ -440,6 +467,7 @@ def stream_sessions_distributed(
     closed = [t for tabs, _ in results for t in tabs]
     closed.extend(t for t in ray.get([s.flush.remote() for s in shards]) if t.num_rows)
     n_late = sum(ray.get([s.late_count.remote() for s in shards]))
+    n_null = sum(ray.get([s.null_key_count.remote() for s in shards]))
     for s in shards:
         ray.kill(s)
     if wm_actor is not None:
@@ -450,4 +478,5 @@ def stream_sessions_distributed(
             [("key", "ascending"), ("session_start", "ascending")]
         ),
         n_late=n_late,
+        n_null_keys=n_null,
     )

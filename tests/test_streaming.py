@@ -262,3 +262,28 @@ def test_distributed_throughput_scales_with_shards():
     assert n1 == n4  # same sessions either way
     speedup = min(t1a, t1b) / min(t4a, t4b)
     assert speedup > 1.3, (t1a, t1b, t4a, t4b)
+
+
+def test_null_keys_counted_never_misattributed():
+    """Null-key events must never glue onto another key's sessions
+    (factorize -1 sentinel collision, review finding) — they are
+    counted in n_null_keys and excluded."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "user_id": pa.array([None, "a", None], pa.string()),
+            "ts": pa.array(
+                [base, base + np.timedelta64(200, "s"), base + np.timedelta64(400, "s")]
+            ),
+        }
+    )
+    s = StreamingSessionizer(
+        key_col="user_id", ts_col="ts", gap_seconds=60.0, num_shards=2
+    )
+    s.feed(t)
+    res = s.finish()
+    got = res.sessions.to_pandas()
+    assert res.n_null_keys == 2
+    assert list(got.key) == ["a"]
+    assert got.n_events.tolist() == [1]
+    assert got.session_start.iloc[0] == got.session_end.iloc[0]
