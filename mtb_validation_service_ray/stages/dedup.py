@@ -16,8 +16,10 @@ Scale design (common to all variants):
 * skew: a hot band/chunk collision group (boilerplate documents) is
   bounded by ``max_bucket_pairs`` — a group whose full pair count
   C(k,2) exceeds the cap emits a *star* to its smallest id plus a
-  *ring* over the sorted order (2k−3 edges) instead of all O(k²)
-  pairs.  Pre-verification connectivity is preserved exactly;
+  *ring* over the sorted order (2k−3 edges), degrading to star-only
+  (k−1 edges, the connectivity floor) when even 2k−3 exceeds the cap
+  (ADVICE r3); the hard bound is max(max_pairs, k−1) pairs per group.
+  Pre-verification connectivity is preserved exactly;
   post-verification the redundancy (hub + both neighbors per member)
   keeps clusters whole when individual edges fail the similarity
   check, though a capped group can still split clusters vs full
@@ -58,24 +60,38 @@ def _group_pair_indices(
     k: int, max_pairs: int
 ) -> tuple[np.ndarray, np.ndarray, bool]:
     """Vectorized candidate-pair INDICES for one collision group of k
-    sorted unique members: all C(k,2) pairs under ``max_pairs``, else a
-    star to member 0 plus a ring over the sorted order (2k−3 edges,
-    still O(k)).
+    sorted unique members, capped in two degrade steps (ADVICE r3 —
+    star+ring alone emits 2k−3 pairs, which EXCEEDS ``max_pairs``
+    whenever k > (max_pairs+3)/2, so the cap was O(k), not the bound
+    its name implied):
+
+    * C(k,2) ≤ max_pairs → all pairs (sampled=0);
+    * 2k−3 ≤ max_pairs → star to member 0 + ring over the sorted order
+      (redundant connectivity: hub AND both neighbors per member);
+    * else → star only (k−1 edges).
+
+    Hard bound: emitted pairs ≤ max(max_pairs, k−1).  The k−1 star is
+    the CONNECTIVITY FLOOR and is never sampled below — dropping a
+    member entirely would be a silent false-negative (the member could
+    never join its duplicate cluster), strictly worse than exceeding
+    the nominal cap; groups big enough to hit the floor are exactly the
+    ones ``overflow_report`` exists to surface.
 
     Accuracy note (ADVICE r2): the cap is lossy AFTER verification —
     in a capped group, a near-dup pair (x, y) survives clustering only
-    if a path of VERIFIED edges connects x and y, and only star+ring
-    edges are emitted.  The ring gives each member two redundant paths
-    (hub and both neighbors), which keeps clusters whole when some hub
-    edges fail the similarity check, but a capped group can still split
-    clusters relative to full C(k,2) emission.  Capped output is never
-    silent: every pair carries ``(n_members, sampled)`` and
-    ``overflow_report`` summarizes the affected groups."""
+    if a path of VERIFIED edges connects x and y.  The ring (when it
+    fits) gives each member two redundant paths; star-only groups keep
+    exact pre-verification connectivity but split clusters as soon as
+    one hub edge fails verification.  Capped output is never silent:
+    every pair carries ``(n_members, sampled)`` and ``overflow_report``
+    summarizes the affected groups."""
     if k * (k - 1) // 2 <= max_pairs:
         i, j = np.triu_indices(k, 1)
         return i, j, False
     star_l = np.zeros(k - 1, dtype=np.int64)
     star_r = np.arange(1, k, dtype=np.int64)
+    if 2 * k - 3 > max_pairs:
+        return star_l, star_r, True
     ring_l = np.arange(1, k - 1, dtype=np.int64)
     ring_r = np.arange(2, k, dtype=np.int64)
     return (

@@ -20,8 +20,6 @@ analog):
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 import ray
@@ -41,6 +39,58 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms
+
+
+def _topk_merge(candidates: rd.Dataset, *, k: int, id_col: str) -> pa.Table:
+    """Distributed merge of per-batch top-k candidate rows down to
+    EXACTLY ``n_queries × k`` rows before anything reaches the driver.
+
+    The per-batch map already bounds each batch's contribution to k
+    rows per query, so the candidate stream holds ≤ #batches × n_q × k
+    rows; a ``groupby("query_idx")`` + vectorized per-group top-k
+    (lexsort over (−score, id)) reduces it cluster-side (VERDICT r3 #1
+    — previously this merge was a per-row Python ``heapq`` loop on the
+    driver, ~10⁹ heap pushes at 10¹² input rows).  The small candidate
+    stream is coalesced into a handful of blocks first so the sort
+    aggregate doesn't pay this box's ~0.3 s/partition floor.
+
+    Ties break by ascending id — same order as the DuckDB oracle's
+    ``ORDER BY score DESC, vec_id``.  Returns a table sorted by
+    (query_idx, −score, id)."""
+    import pandas as pd  # noqa: F401 — map_groups pandas body
+
+    def group_topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.lexsort((g[id_col].to_numpy(), -g["score"].to_numpy()))
+        return g.iloc[order[:k]]
+
+    n_out = max(2, int(ray.cluster_resources().get("CPU", 8)) // 8)
+    merged = (
+        candidates.repartition(n_out)
+        .groupby("query_idx")
+        .map_groups(group_topk, batch_format="pandas")
+    )
+    tabs = [
+        b
+        for b in merged.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+        if b.num_rows
+    ]
+    if not tabs:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    t = pa.concat_tables(tabs).combine_chunks()
+    order = np.lexsort(
+        (
+            t.column(id_col).to_numpy(zero_copy_only=False),
+            -t.column("score").to_numpy(zero_copy_only=False),
+            t.column("query_idx").to_numpy(zero_copy_only=False),
+        )
+    )
+    return t.take(pa.array(order)).select(["query_idx", id_col, "score"])
 
 
 def knn_brute(
@@ -83,31 +133,9 @@ def knn_brute(
         batch_topk, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
-    # driver-side k-way merge over the small candidate stream
-    per_query: dict[int, list] = {}
-    for b in candidates.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
-        for qi, vid, s in zip(
-            b.column("query_idx").to_pylist(),
-            b.column(id_col).to_pylist(),
-            b.column("score").to_pylist(),
-        ):
-            heap = per_query.setdefault(qi, [])
-            heapq.heappush(heap, (s, vid))
-            if len(heap) > k:
-                heapq.heappop(heap)
-    out_q, out_id, out_s = [], [], []
-    for qi in sorted(per_query):
-        for s, vid in sorted(per_query[qi], key=lambda t: (-t[0], t[1])):
-            out_q.append(qi)
-            out_id.append(vid)
-            out_s.append(s)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int32()),
-            id_col: pa.array(out_id),
-            "score": pa.array(out_s, pa.float64()),
-        }
-    )
+    # distributed grouped top-k: the driver receives exactly
+    # n_queries × k rows, never the per-batch candidate stream
+    return _topk_merge(candidates, k=k, id_col=id_col)
 
 
 def cosine_near_dups(
@@ -122,6 +150,7 @@ def cosine_near_dups(
     seed: int = 13,
     batch_size: int = 4096,
     broadcast_max_rows: int = 1_000_000,
+    broadcast_max_bytes: int = 2 << 30,
     max_bucket_pairs: int | None = None,
     num_buckets: int = 1024,
 ) -> rd.Dataset:
@@ -156,17 +185,28 @@ def cosine_near_dups(
     against chunk width: P(candidate) ≈ 1 − (1 − p^b)^c with
     p = 1 − θ/π; widen ``lsh_chunks`` to buy recall at the cost of one
     extra (id, embedding) shuffle copy per chunk.
-    strategy="auto" (default): count-gated switch — broadcast while the
-    vector count fits ``broadcast_max_rows``, LSH beyond it (the same
-    adaptive pattern as verdicts' driver-vs-distributed reduce)."""
+    strategy="auto" (default): gated switch — broadcast only while BOTH
+    the vector count fits ``broadcast_max_rows`` AND the normalized
+    float64 matrix (``n_rows × dim × 8``) fits ``broadcast_max_bytes``,
+    LSH beyond either (the same adaptive pattern as verdicts'
+    driver-vs-distributed reduce).  The byte gate matters because the
+    row gate alone is dimension-blind (VERDICT r3 #2): 10⁶ vectors at
+    4096 dims is a 32 GB driver-side vstack even though the row count
+    passes."""
     n_rows: int | None = None
     if strategy == "auto":
-        # pin once: the count gate and the chosen arm must not each
+        # pin once: the gate and the chosen arm must not each
         # re-execute the upstream pipeline (the broadcast arm alone
         # consumes the input twice — matrix collect + pair stream)
         ds = ds.materialize()
         n_rows = ds.count()
-        strategy = "broadcast" if n_rows <= broadcast_max_rows else "lsh"
+        if n_rows <= broadcast_max_rows and n_rows > 0:
+            first = ds.take(1)
+            dim = len(first[0][embedding_col])
+            est_bytes = n_rows * dim * 8
+            strategy = "broadcast" if est_bytes <= broadcast_max_bytes else "lsh"
+        else:
+            strategy = "broadcast" if n_rows == 0 else "lsh"
     if strategy == "broadcast":
         rows = []
         ids_all = []
@@ -335,18 +375,48 @@ def ivf_knn(
 ) -> pa.Table:
     """IVF top-k: coarse k-means cells + probe-limited exact search.
 
-    The centroid fit uses a bounded driver-side sample (`` take``),
-    assignment and probing are map_batches passes — the index build
-    never materializes the dataset."""
-    sample = ds.select_columns([embedding_col]).limit(sample_size)
-    sample_m = _normalize(
-        np.vstack(
-            [
-                _batch_matrix(b, embedding_col)
-                for b in sample.iter_batches(batch_format="pyarrow", batch_size=1 << 14)
-            ]
+    The centroid fit uses a bounded driver-side sample, assignment and
+    probing are map_batches passes — the index build never materializes
+    the dataset."""
+    from ..functions.sketches import hash64
+
+    # unbiased, deterministic, partition-independent centroid sample
+    # (VERDICT r3 #5): ``limit(sample_size)`` took the FIRST rows, so
+    # clustered/sorted input biased the cells and silently cost recall.
+    # A seeded multiplicative hash over the id column keeps each row
+    # with probability ~1.5·sample_size/n regardless of block order or
+    # count, and the kept rows are ranked by the same hash so the final
+    # truncation to sample_size is deterministic too.
+    n_rows = ds.count()
+    frac = min(1.0, (1.5 * sample_size) / max(n_rows, 1))
+    mix = np.uint64(((seed * 0x9E3779B97F4A7C15) | 1) & (2**64 - 1))  # odd
+    thresh = np.uint64(min(int(frac * 2**64), 2**64 - 1))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        h = hash64(
+            batch.column(id_col).to_numpy(zero_copy_only=False)
+        ).astype(np.uint64) * mix
+        keep = h < thresh if frac < 1.0 else np.ones(len(h), dtype=bool)
+        sub = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "_rank": pa.array(h[keep], pa.uint64()),
+                embedding_col: sub.column(embedding_col),
+            }
         )
-    )
+
+    picked = [
+        b
+        for b in ds.select_columns([id_col, embedding_col])
+        .map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 14)
+        if b.num_rows
+    ]
+    samp = pa.concat_tables(picked).combine_chunks()
+    order = np.argsort(
+        samp.column("_rank").to_numpy(zero_copy_only=False), kind="stable"
+    )[:sample_size]
+    sample_m = _normalize(_batch_matrix(samp.take(pa.array(order)), embedding_col))
     rng = np.random.Generator(np.random.Philox(key=seed))
     centroids = sample_m[rng.choice(len(sample_m), min(n_cells, len(sample_m)), replace=False)]
     for _ in range(kmeans_iters):
@@ -395,27 +465,4 @@ def ivf_knn(
         )
 
     candidates = ds.map_batches(probe, batch_format="pyarrow", batch_size=4096)
-    per_query: dict[int, list] = {}
-    for b in candidates.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
-        for qi, vid, s in zip(
-            b.column("query_idx").to_pylist(),
-            b.column(id_col).to_pylist(),
-            b.column("score").to_pylist(),
-        ):
-            heap = per_query.setdefault(qi, [])
-            heapq.heappush(heap, (s, vid))
-            if len(heap) > k:
-                heapq.heappop(heap)
-    out_q, out_id, out_s = [], [], []
-    for qi in sorted(per_query):
-        for s, vid in sorted(per_query[qi], key=lambda t: (-t[0], t[1])):
-            out_q.append(qi)
-            out_id.append(vid)
-            out_s.append(s)
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int32()),
-            id_col: pa.array(out_id),
-            "score": pa.array(out_s, pa.float64()),
-        }
-    )
+    return _topk_merge(candidates, k=k, id_col=id_col)

@@ -81,10 +81,10 @@ def test_simhash_finds_near_dups():
 
 def test_minhash_hot_bucket_cap():
     """A boilerplate-heavy group (2k identical docs) must NOT generate
-    O(k^2) pairs: overflow groups emit a star to the min id plus a ring
-    over the sorted order (2k-3 edges, redundant connectivity through
-    verification) tagged sampled=1, and overflow_report surfaces the
-    capped group (VERDICT r1 #1, ADVICE r2 ring)."""
+    O(k^2) pairs: with the cap below even star+ring (2k-3 > 500) the
+    group degrades to the star-only connectivity floor (k-1 edges to
+    the min id, ADVICE r3) tagged sampled=1, and overflow_report
+    surfaces the capped group (VERDICT r1 #1)."""
     from mtb_validation_service_ray.stages.dedup import overflow_report
 
     k = 2000
@@ -99,17 +99,34 @@ def test_minhash_hot_bucket_cap():
         ds, concurrency=1, max_bucket_pairs=500
     ).materialize()
     df = cands.to_pandas()
-    # star + ring: every doc pairs with doc 0, every consecutive pair too
-    assert len(df) == 2 * k - 3
-    star = df[df.doc_a == 0]
-    assert set(star.doc_b) == set(range(1, k))
-    ring = df[df.doc_a != 0]
-    assert set(zip(ring.doc_a, ring.doc_b)) == {(i, i + 1) for i in range(1, k - 1)}
+    # star only (2k-3 > max_pairs): every doc pairs with doc 0, nothing else
+    assert len(df) == k - 1
+    assert set(df.doc_a) == {0}
+    assert set(df.doc_b) == set(range(1, k))
     assert (df.sampled == 1).all()
     assert (df.n_members == k).all()
     rep = overflow_report(cands).to_pandas()
     assert list(rep.n_members) == [k]
-    assert rep.n_pairs_emitted.iloc[0] == 2 * k - 3
+    assert rep.n_pairs_emitted.iloc[0] == k - 1
+
+
+def test_group_pair_cap_degrade_ladder():
+    """ADVICE r3: the per-group cap degrades C(k,2) -> star+ring ->
+    star-only, and emitted pairs never exceed max(max_pairs, k-1)."""
+    from mtb_validation_service_ray.stages.dedup import _group_pair_indices
+
+    i, j, sampled = _group_pair_indices(10, 1000)  # C(10,2)=45 fits
+    assert len(i) == 45 and not sampled
+    i, j, sampled = _group_pair_indices(100, 1000)  # 4950 > 1000 ≥ 197
+    assert len(i) == 2 * 100 - 3 and sampled
+    i, j, sampled = _group_pair_indices(100, 150)  # 197 > 150: star only
+    assert len(i) == 99 and sampled
+    assert (i == 0).all() and (j == np.arange(1, 100)).all()
+    for k, cap in [(5, 4), (50, 10), (1000, 999), (1000, 5000)]:
+        i, j, _ = _group_pair_indices(k, cap)
+        assert len(i) <= max(cap, k - 1)
+        # connectivity floor: every member appears in at least one pair
+        assert set(np.concatenate([i, j])) == set(range(k))
 
 
 def test_minhash_under_cap_unsampled():
@@ -130,7 +147,7 @@ def test_simhash_hot_bucket_cap():
     pairs = simhash_candidates(
         rd.from_arrow(t), concurrency=1, max_hamming=3, max_bucket_pairs=100
     ).to_pandas()
-    assert len(pairs) == 2 * k - 3  # star + ring
+    assert len(pairs) == k - 1  # 2k-3 > 100: star-only connectivity floor
     assert set(pairs[pairs.doc_a == 0].doc_b) == set(range(1, k))
     assert (pairs.hamming == 0).all()
     assert (pairs.sampled == 1).all()
