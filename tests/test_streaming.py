@@ -220,6 +220,16 @@ def test_distributed_watermark_bounds_state():
     assert total == t.num_rows  # every event accounted: in a session or late
 
 
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_PERF_TESTS"),
+    reason="wall-clock perf assertion — flaky on a shared box (ADVICE r3); "
+    "run via RUN_PERF_TESTS=1 or the bench harness",
+)
 def test_distributed_throughput_scales_with_shards():
     """The parallel-ingest sessionizer's throughput axis: more shard
     actors process the same 300k-event log materially faster (the
@@ -287,3 +297,113 @@ def test_null_keys_counted_never_misattributed():
     assert list(got.key) == ["a"]
     assert got.n_events.tolist() == [1]
     assert got.session_start.iloc[0] == got.session_end.iloc[0]
+
+
+def test_watermark_actor_done_markers():
+    """ADVICE r3 (medium): a feeder that never reports (empty split) or
+    drains early must not freeze the global watermark — finish()
+    removes it from the min; all-done returns max progress seen."""
+    import ray
+
+    from mtb_validation_service_ray.stages.streaming import (
+        _NEG_INF,
+        _WatermarkActor,
+    )
+
+    wm = _WatermarkActor.remote(3, 100)
+    # feeders 0 and 1 report; feeder 2 (empty split) never does
+    assert ray.get(wm.update.remote(0, 10_000)) == _NEG_INF
+    assert ray.get(wm.update.remote(1, 20_000)) == _NEG_INF
+    # pre-fix this stayed -inf forever; the done marker unfreezes it
+    assert ray.get(wm.finish.remote(2)) == 10_000 - 100
+    # a done feeder keeps dropping out of the min as others advance
+    assert ray.get(wm.update.remote(0, 30_000)) == 20_000 - 100
+    assert ray.get(wm.finish.remote(1)) == 30_000 - 100
+    # all channels done: watermark = max progress ever seen
+    assert ray.get(wm.finish.remote(0)) == 30_000 - 100
+    ray.kill(wm)
+
+
+def _steady_session_log(n_events, n_users=50, step_s=30):
+    """Globally ts-ordered log where EVERY event is its own session
+    (consecutive same-user events are n_users*step_s apart >> gap):
+    closed sessions accumulate steadily, exercising the feeder spill."""
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    users = np.arange(n_events) % n_users
+    ts = base + (np.arange(n_events) * step_s * 1_000_000).astype(
+        "timedelta64[us]"
+    )
+    return pa.table(
+        {
+            "user_id": pa.array([f"u{u:03d}" for u in users], pa.string()),
+            "ts": pa.array(ts),
+        }
+    )
+
+
+def test_feeder_spill_bounds_memory():
+    """VERDICT r3 #3: closed sessions spill out of feeder memory — the
+    peak buffered row count stays ~flat when the stream is 10x longer,
+    and results are still exact."""
+    from mtb_validation_service_ray.stages.streaming import (
+        stream_sessions_distributed,
+    )
+
+    def run(n):
+        t = _steady_session_log(n)
+        res = stream_sessions_distributed(
+            rd.from_arrow(t).repartition(max(4, n // 1000)),
+            key_col="user_id", ts_col="ts", gap_seconds=60.0,
+            allowed_lateness_seconds=0.0,
+            num_shards=2, num_feeders=2, batch_size=256, spill_rows=500,
+        )
+        assert res.n_late == 0
+        assert res.sessions.num_rows == n  # every event = one session
+        assert (
+            res.sessions.column("n_events").to_pandas() == 1
+        ).all()
+        return res.peak_feeder_buffer_rows
+
+    peak_small = run(2_000)
+    peak_big = run(20_000)
+    # spilling happened (peak far below total closed rows per feeder)...
+    assert peak_big < 10_000
+    # ...and peak is flat-ish across 10x stream length, not linear
+    assert peak_big <= max(3 * peak_small, 2_000), (peak_small, peak_big)
+
+
+def test_streaming_output_dir_parquet_sink(tmp_path):
+    """output_dir routes closed sessions to parquet part files (the
+    unbounded-log sink): parts union to exactly the in-memory result
+    and the driver never assembles the table."""
+    import pyarrow.parquet as pq
+
+    from mtb_validation_service_ray.stages.streaming import (
+        stream_sessions_distributed,
+    )
+
+    t = _steady_session_log(3_000)
+    mem = stream_sessions_distributed(
+        rd.from_arrow(t).repartition(6),
+        key_col="user_id", ts_col="ts", gap_seconds=60.0,
+        allowed_lateness_seconds=0.0,
+        num_shards=2, num_feeders=2, batch_size=256, spill_rows=400,
+    )
+    out = str(tmp_path / "sessions")
+    disk = stream_sessions_distributed(
+        rd.from_arrow(t).repartition(6),
+        key_col="user_id", ts_col="ts", gap_seconds=60.0,
+        allowed_lateness_seconds=0.0,
+        num_shards=2, num_feeders=2, batch_size=256, spill_rows=400,
+        output_dir=out,
+    )
+    assert disk.session_files and len(disk.session_files) >= 2
+    assert disk.sessions.num_rows == 0  # not assembled on the driver
+    parts = pa.concat_tables([pq.read_table(p) for p in disk.session_files])
+    got = (
+        parts.to_pandas()
+        .sort_values(["key", "session_start"])
+        .reset_index(drop=True)
+    )
+    want = mem.sessions.to_pandas().reset_index(drop=True)
+    assert got.equals(want), f"\n{got}\n{want}"
