@@ -25,6 +25,7 @@ import os
 import tempfile
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -1150,6 +1151,13 @@ def q_text_jaccard_adjacent(sf_dir: str):
     ).sort_by("doc_a")
 
 
+# Tokenizer parity note (ADVICE r3): the engine tokenizes with Python
+# str.lower()/str.split() (Unicode-aware); this oracle uses RE2 '\\s+'
+# and SQL lower() (ASCII-oriented).  They agree because the driver's
+# document fixture is pure ASCII (verified: 0 non-ASCII chars at sf0.01
+# and sf0.1) — on text containing U+00A0-style Unicode whitespace the
+# engine's answer would differ from the oracle while still being the
+# more correct tokenization; do not "fix" the engine to ASCII split.
 _JACCARD_ADJACENT_ORACLE = """
 WITH toks AS (
     SELECT doc_id,
@@ -1403,18 +1411,86 @@ def q_image_validate(sf_dir: str):
 
 
 def q_image_verdict_summary(sf_dir: str):
-    """Verdict roll-up counts for the image table."""
-    d = _image_fixture_dir()
-    res = run_validation_fused(d)
-    agg = res.verdicts.groupby("verdict").aggregate(Count(alias_name="n"))
-    return _as_table(agg)
+    """Verdict roll-up counts, hash-checked (VERDICT r3 #6): GROUP BY
+    verdict over the same per-record reduce `image_verdict_meta`
+    oracles — record counts + total issues per verdict tier, computed
+    as a DISTRIBUTED hash aggregate over the verdict stream (at 10^12
+    records the verdict table is 10^12 rows; it never lands on the
+    driver).  The clean-fixture full-rule-set roll-up stays covered by
+    `image_validate` + the fused-equivalence tests."""
+    from .verdicts import verdicts_with_unique
+
+    ids = rd.read_parquet(
+        _corrupt_fixture_path(), columns=["image_id", PARTITION_COL]
+    )
+    viol = _image_meta_violations(sf_dir)
+    verdicts, _ = verdicts_with_unique(ids, viol, strategy="shuffle")
+    agg = verdicts.groupby("verdict").aggregate(
+        Count(alias_name="n_records"), Sum("n_issues", alias_name="n_issues")
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "verdict": batch.column("verdict").cast(pa.string()),
+                "n_records": batch.column("n_records").cast(pa.int64()),
+                "n_issues": batch.column("n_issues").cast(pa.int64()),
+            }
+        )
+
+    return _as_table(agg.map_batches(cast, batch_format="pyarrow")).sort_by(
+        "verdict"
+    )
 
 
 def q_image_stats_profile(sf_dir: str):
-    """Per-partition stats/sketch profile of the image table."""
+    """Per-partition stats/sketch profile of the image table — exact
+    lane hash-checked (VERDICT r3 #6).  Runs the FULL profile (exact
+    counts + HLL distinct + t-digest quantiles in one actor-pool pass),
+    gates the sketch lanes in-process — HLL within 2% of the exact
+    per-partition distinct count (its own Ray aggregate), t-digest
+    quantiles monotone and inside [min, max] — then returns the exact
+    columns (w AND h lanes; wider than the `image_stats_exact` twin)
+    for DuckDB to hash-check."""
     d = _image_fixture_dir()
     meta = rd.read_parquet(d, columns=["image_id", "w", "h", "caption", PARTITION_COL])
-    return stats_report(profile_stats(meta, concurrency=_pool_size()))
+    report = stats_report(profile_stats(meta, concurrency=_pool_size(2)))
+
+    # exact distinct ids per partition (one shuffle; tiny output)
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                PARTITION_COL: [g[PARTITION_COL].iloc[0]],
+                "exact": [g["image_id"].nunique()],
+            }
+        )
+
+    exact_pp = _as_table(
+        rd.read_parquet(d, columns=["image_id", PARTITION_COL])
+        .groupby(PARTITION_COL)
+        .map_groups(nunique, batch_format="pandas")
+    ).to_pandas().set_index(PARTITION_COL)["exact"]
+    rep = report.to_pandas().set_index(PARTITION_COL)
+    for pid, row in rep.iterrows():
+        exact = int(exact_pp.sum()) if pid == -1 else int(exact_pp[pid])
+        est = float(row["distinct_ids_est"])
+        assert abs(est - exact) <= 0.02 * exact + 1, (pid, est, exact)
+        for col in ("w", "h"):
+            qs = [row[f"p{q:02d}_{col}"] for q in (1, 25, 50, 75, 99)]
+            assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:])), (pid, col, qs)
+            assert row[f"min_{col}"] - 1e-6 <= qs[0], (pid, col)
+            assert qs[-1] <= row[f"max_{col}"] + 1e-6, (pid, col)
+
+    cols = {"partition_id": report.column(PARTITION_COL).cast(pa.int32()),
+            "n_rows": report.column("n_rows").cast(pa.int64()),
+            "null_caption": report.column("null_caption").cast(pa.int64())}
+    for c in ("w", "h"):
+        cols[f"min_{c}"] = report.column(f"min_{c}").cast(pa.float64())
+        cols[f"max_{c}"] = report.column(f"max_{c}").cast(pa.float64())
+        cols[f"mean_{c}"] = pa.array(
+            _round_away(report.column(f"mean_{c}").to_numpy(zero_copy_only=False), 4)
+        )
+    return pa.table(cols)
 
 
 def q_image_stats_exact(sf_dir: str):
@@ -2048,6 +2124,33 @@ ORACLE_SQL["image_phash_dupgroups"] = f"""
     SELECT phash, MIN(image_id) AS keep_id, CAST(count(*) AS BIGINT) AS n
     FROM read_parquet('{_image_fixture_dirname()}/part-*.parquet')
     GROUP BY phash HAVING count(*) > 1"""
+ORACLE_SQL["image_verdict_summary"] = f"""
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(n_issues) AS BIGINT) AS n_issues
+    FROM ({_image_verdict_oracle_sql()})
+    GROUP BY verdict ORDER BY verdict"""
+
+
+def _image_stats_lane_sql(pid_expr: str) -> str:
+    lanes = ["CAST(sum(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_caption"]
+    for c in ("w", "h"):
+        lanes.append(f"CAST(MIN({c}) AS DOUBLE) AS min_{c}")
+        lanes.append(f"CAST(MAX({c}) AS DOUBLE) AS max_{c}")
+        lanes.append(
+            f"ROUND(SUM(CAST({c} AS DOUBLE)) / GREATEST(count(*) - "
+            f"count(*) FILTER (WHERE {c} IS NULL), 1), 4) AS mean_{c}"
+        )
+    return (
+        f"SELECT {pid_expr} AS partition_id, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, " + ", ".join(lanes) + " FROM src"
+    )
+
+
+ORACLE_SQL["image_stats_profile"] = f"""
+    WITH src AS (SELECT * FROM read_parquet('{_image_fixture_dirname()}/part-*.parquet'))
+    {_image_stats_lane_sql('CAST(partition_id AS INT)')} GROUP BY partition_id
+    UNION ALL {_image_stats_lane_sql('-1')}"""
+
 ORACLE_SQL["image_stats_exact"] = f"""
     WITH src AS (SELECT * FROM read_parquet('{_image_fixture_dirname()}/part-*.parquet')),
     per AS (

@@ -65,9 +65,20 @@ def latest_event_per_key(
     .map(maxBy(effectiveDate)), MTBValidators.scala:686-692.)
 
     Partial-aggregate inside map_batches (max-of-maxes, sum-of-counts
-    are re-entrant), coalesce the small partial stream, then one tiny
-    shuffle — the raw whole-table groupby paid the sort-exchange floor
-    on every input block."""
+    are re-entrant), coalesce the partial stream, then one shuffle —
+    the raw whole-table groupby paid the sort-exchange floor on every
+    input block.
+
+    The coalesce width is sized from the OBSERVED partial-stream row
+    count, not assumed small (ADVICE r3): with a near-unique key the
+    partial stream is almost the full table, and funneling it into a
+    handful of blocks would lose parallelism and create giant blocks at
+    scale.  The partial stream is materialized first (blocks stay in
+    the object store — the groupby shuffle would materialize them
+    anyway), then repartitioned to ~``target_rows_per_block`` rows per
+    block, capped at #CPUs blocks and never widened."""
+    import math
+
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -82,15 +93,20 @@ def latest_event_per_key(
             }
         )
 
-    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 8)
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(n_parts)
-        .groupby(key_col)
-        .aggregate(
-            Max("last_ts", alias_name="last_ts"),
-            Sum("n_events", alias_name="n_events"),
-        )
+    target_rows_per_block = 500_000
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_parts = max(
+        2,
+        min(cpus, math.ceil(partials.count() / target_rows_per_block)),
+    )
+    if n_parts < partials.num_blocks():
+        partials = partials.repartition(n_parts)
+    return partials.groupby(key_col).aggregate(
+        Max("last_ts", alias_name="last_ts"),
+        Sum("n_events", alias_name="n_events"),
     )
 
 
