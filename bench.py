@@ -241,14 +241,23 @@ def main() -> None:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from mtb_validation_service_ray.pipelines.queries import QUERIES
 
+        # best-of-2 per query, same rationale as the headline (VERDICT
+        # r3 #4): one unrepeated sample conflates the pipeline with
+        # whatever the box was doing that second
+        q_repeats = max(1, int(os.environ.get("BENCH_QUERY_REPEATS", "2")))
         for name in QUERY_SUBSET:
-            t0 = time.time()
-            result = QUERIES[name](SF_DIR)
-            if hasattr(result, "iter_batches"):  # Dataset → consume it
-                for _ in result.iter_batches(batch_format="pyarrow",
-                                             batch_size=1 << 16):
-                    pass
-            queries_sec[name] = round(time.time() - t0, 3)
+            best_q = None
+            for _ in range(q_repeats):
+                t0 = time.time()
+                result = QUERIES[name](SF_DIR)
+                if hasattr(result, "iter_batches"):  # Dataset → consume it
+                    for _ in result.iter_batches(batch_format="pyarrow",
+                                                 batch_size=1 << 16):
+                        pass
+                elapsed = time.time() - t0
+                if best_q is None or elapsed < best_q:
+                    best_q = elapsed
+            queries_sec[name] = round(best_q, 3)
 
     payload = {
         "metric": "end-to-end validated images/sec (full rule-set pass)",

@@ -327,11 +327,14 @@ def minhash_lsh_candidates(
         concurrency = max(1, min(cpus // 2, cpus - 1))
     # explicit batch_size: Ray's read auto-split produces ~2×CPU tiny
     # blocks on small tables; bundling them into real batches keeps the
-    # per-task overhead (actor hop + slab setup) amortized
+    # per-task overhead (actor hop + slab setup) amortized.  1024 (not
+    # 4096) so a sf0.1-sized corpus still fans out across the pool —
+    # at 4096 the whole 5k-doc table became 2 tasks and the signature
+    # stage ran on 2 of 16 actors (BENCH r3 regression)
     band_rows = ds.map_batches(
         MinHashStage,
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=1024,
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perm=num_perm,
             bands=bands, shingle_k=shingle_k,
@@ -350,18 +353,35 @@ def minhash_lsh_candidates(
         )
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # collision groups are found with numpy boundary detection over
+        # a (band_id, band_hash) lexsort — almost every group is a
+        # singleton (unique band hash), and iterating 10^4-10^5 pandas
+        # sub-frames per bucket was the chain's hot loop (BENCH r3
+        # regression); Python now touches only the ≥2-member groups
+        bid = group["band_id"].to_numpy()
+        bh = group["band_hash"].to_numpy()
+        ids_all = group["doc_id"].to_numpy()
+        order = np.lexsort((bh, bid))
+        bid_s, bh_s, ids_s = bid[order], bh[order], ids_all[order]
         parts_a, parts_b, parts_n, parts_s = [], [], [], []
-        for (_, _), sub in group.groupby(["band_id", "band_hash"], sort=False):
-            if len(sub) < 2:
-                continue
-            ids = np.sort(sub["doc_id"].unique())
-            if len(ids) < 2:
-                continue
-            a, b, sampled = _group_pairs(ids, max_bucket_pairs)
-            parts_a.append(a)
-            parts_b.append(b)
-            parts_n.append(np.full(len(a), len(ids), dtype=np.int32))
-            parts_s.append(np.full(len(a), int(sampled), dtype=np.int8))
+        if len(bid_s):
+            change = np.empty(len(bid_s), dtype=bool)
+            change[0] = True
+            np.not_equal(bid_s[1:], bid_s[:-1], out=change[1:])
+            change[1:] |= bh_s[1:] != bh_s[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(bid_s))
+            for gi in np.flatnonzero(ends - starts >= 2):
+                # a doc emits each band once, but unique() guards
+                # hypothetical dup rows (and sorts, as _group_pairs needs)
+                ids = np.unique(ids_s[starts[gi] : ends[gi]])
+                if len(ids) < 2:
+                    continue
+                a, b, sampled = _group_pairs(ids, max_bucket_pairs)
+                parts_a.append(a)
+                parts_b.append(b)
+                parts_n.append(np.full(len(a), len(ids), dtype=np.int32))
+                parts_s.append(np.full(len(a), int(sampled), dtype=np.int8))
         if not parts_a:
             return pd.DataFrame(
                 {"doc_a": pd.Series(dtype=group["doc_id"].dtype),
@@ -381,17 +401,49 @@ def minhash_lsh_candidates(
         .groupby("_bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
-    # candidate pairs repeat across bands — dedupe with one aggregate;
-    # coalesce the many per-bucket blocks first (Ray's sort aggregate
-    # costs per input block, and the pair stream is small).  Measured:
-    # the bucket-actor hash reduce is NOT faster here — its per-call
-    # actor spawn outweighs the saved sort at this stream size, and the
-    # lazy groupby composes better.
+    # candidate pairs repeat across bands — dedupe with one aggregate.
+    # Ray's sort aggregate costs ~0.3 s per partition, so the coalesce
+    # width comes from the OBSERVED pair-stream size (materialize keeps
+    # blocks in the object store; the count is then free): a small
+    # stream gets 4 partitions, ~250k rows per partition beyond that,
+    # capped at #CPUs.  Measured: the bucket-actor hash reduce is NOT
+    # faster here — its per-call actor spawn outweighs the saved sort
+    # at this stream size.
     import ray as _ray
 
     from ray.data.aggregate import Max
 
-    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs <= 2_000_000:
+        # count-gated driver fast path (same gate pattern as the verify
+        # and verdict reduces): the band-deduped pair stream is tiny
+        # here, and the distributed sort aggregate's ~0.3 s/partition
+        # floor dwarfs a vectorized Arrow group_by
+        tabs = list(
+            pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 18)
+        )
+        if tabs:
+            t = pa.concat_tables(tabs)
+        else:
+            s = pairs.schema()
+            t = getattr(s, "base_schema", s).empty_table()
+        g = t.group_by(["doc_a", "doc_b"]).aggregate(
+            [("doc_a", "count"), ("n_members", "max"), ("sampled", "max")]
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": g.column("doc_a"),
+                    "doc_b": g.column("doc_b"),
+                    "n_bands": g.column("doc_a_count").cast(pa.int64()),
+                    "n_members": g.column("n_members_max"),
+                    "sampled": g.column("sampled_max"),
+                }
+            )
+        )
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    n_parts = max(4, min(cpus, n_pairs // 250_000 + 1))
     return pairs.repartition(n_parts).groupby(["doc_a", "doc_b"]).aggregate(
         Count(alias_name="n_bands"),
         Max("n_members", alias_name="n_members"),
