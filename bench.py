@@ -91,26 +91,34 @@ def _sf_from_dir(path: str) -> float:
         return 0.1
 
 
-def ensure_bench_images(n: int, seed: int = SEED) -> str:
+def ensure_bench_images(n: int, seed: int = SEED, *, skew: bool = False) -> str:
     """Generate (once) the bench image table: a Ray range→map_batches
     pipeline writing sharded parquet — the generator itself exercises
-    the scale path."""
+    the scale path.  ``skew=True`` writes the hardened skew variant
+    (99% one fmt, 30% phash hot cluster) to its own cached dir."""
     import pyarrow as pa
     import ray.data as rd
 
     from mtb_validation_service_ray.sources.fixtures import rows_for_indices
 
-    d = os.path.join("/tmp", f"mtbray_bench_images_v3_n{n}_s{seed}")
+    suffix = "_skew" if skew else ""
+    d = os.path.join("/tmp", f"mtbray_bench_images_v3_n{n}_s{seed}{suffix}")
     marker = os.path.join(d, "_complete")
     if os.path.exists(marker):
         return d
+    if os.path.isdir(d):
+        # a killed generation leaves partial part files; write_parquet
+        # appends new UUIDs rather than truncating, so start clean
+        import shutil
+
+        shutil.rmtree(d)
 
     n_partitions = 64
 
     def gen(batch: pa.Table) -> pa.Table:
         return rows_for_indices(
             batch.column("id").to_numpy(zero_copy_only=False),
-            seed=seed, total=n, n_partitions=n_partitions,
+            seed=seed, total=n, n_partitions=n_partitions, skew=skew,
         )
 
     (

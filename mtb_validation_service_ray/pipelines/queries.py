@@ -1333,6 +1333,43 @@ def q_hll_distinct_users(sf_dir: str):
     )
 
 
+def q_asof_latest_order_per_event(sf_dir: str):
+    """Distributed as-of join, hash-checked: every event enriched with
+    the latest order (by o_orderdate ≤ event ts) of the same customer.
+    One hash shuffle on the key, per-bucket vectorized merge_asof;
+    DuckDB recomputes it with a native ASOF LEFT JOIN.  Ties on
+    (custkey, orderdate) resolve to the max o_orderkey on both sides."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(
+        sf_dir, "orders",
+        ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    out = asof_join(
+        ev, orders,
+        key=("user_id", "o_custkey"), ts=("ts", "o_orderdate"),
+        right_payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_totalprice": batch.column("o_totalprice").cast(pa.float64()),
+            }
+        )
+
+    return _as_table(
+        out.select_columns(
+            ["event_id", "user_id", "o_orderkey", "o_totalprice"]
+        ).map_batches(cast, batch_format="pyarrow")
+    ).sort_by("event_id")
+
+
 def q_tdigest_value_quantiles(sf_dir: str):
     """t-digest quantiles of events.value (rows-only; tolerance-checked
     against numpy in tests)."""
@@ -1577,6 +1614,37 @@ def q_image_phash_dupgroups(sf_dir: str):
         )
 
     return out.map_batches(cast, batch_format="pyarrow")
+
+
+def q_image_phash_near_dups(sf_dir: str):
+    """Perceptual-hash near-duplicate pairs (hamming ≤ 3) over the
+    image table via the pigeonhole chunk-bucket plan — hash-checked:
+    within the hamming budget the chunk cover is exhaustive, so absent
+    star-cap sampling (asserted) the candidate set IS the hamming ball,
+    which DuckDB recomputes with an n² self-join at fixture scale."""
+    from ..stages.dedup import hash_hamming_candidates
+
+    d = _image_fixture_dir()
+    ds = rd.read_parquet(d, columns=["image_id", "phash"])
+    # cap raised above C(n_fixture, 2): the structured phashes share
+    # low-entropy chunks, so one chunk group can span most of the
+    # table — exhaustive pairing keeps the set oracle-exact here while
+    # the default cap stays the at-scale behavior (audit columns)
+    out = _as_table(
+        hash_hamming_candidates(
+            ds, hash_col="phash", id_col="image_id", max_hamming=3,
+            max_bucket_pairs=2_000_000,
+        )
+    )
+    # no group was star-capped ⇒ the pair set is exact, not sampled
+    assert out.num_rows == 0 or pc.max(out.column("sampled")).as_py() == 0
+    return pa.table(
+        {
+            "doc_a": out.column("doc_a").cast(pa.string()),
+            "doc_b": out.column("doc_b").cast(pa.string()),
+            "hamming": out.column("hamming").cast(pa.int64()),
+        }
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 def q_image_features(sf_dir: str):
@@ -2093,6 +2161,7 @@ QUERIES = {
     "dedup_simhash_docs": q_dedup_simhash_docs,
     "hll_distinct_users": q_hll_distinct_users,
     "tdigest_value_quantiles": q_tdigest_value_quantiles,
+    "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "image_validate": q_image_validate,
     "image_validate_meta": q_image_validate_meta,
     "image_verdict_meta": q_image_verdict_meta,
@@ -2105,6 +2174,7 @@ QUERIES = {
     "image_stats_exact": q_image_stats_exact,
     "image_features": q_image_features,
     "image_phash_dupgroups": q_image_phash_dupgroups,
+    "image_phash_near_dups": q_image_phash_near_dups,
     "image_embedding_dedup": q_image_embedding_dedup,
 }
 
@@ -2124,6 +2194,26 @@ ORACLE_SQL["image_phash_dupgroups"] = f"""
     SELECT phash, MIN(image_id) AS keep_id, CAST(count(*) AS BIGINT) AS n
     FROM read_parquet('{_image_fixture_dirname()}/part-*.parquet')
     GROUP BY phash HAVING count(*) > 1"""
+ORACLE_SQL["asof_latest_order_per_event"] = """
+    WITH r AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+               arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    ORDER BY event_id"""
+
+ORACLE_SQL["image_phash_near_dups"] = f"""
+    WITH src AS (SELECT image_id, phash
+                 FROM read_parquet('{_image_fixture_dirname()}/part-*.parquet'))
+    SELECT a.image_id AS doc_a, b.image_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM src a JOIN src b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ORDER BY doc_a, doc_b"""
+
 ORACLE_SQL["image_verdict_summary"] = f"""
     SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_records,
            CAST(SUM(n_issues) AS BIGINT) AS n_issues

@@ -59,14 +59,22 @@ def make_image_rows(
 
 
 def rows_for_indices(
-    indices, *, seed: int = 42, total: int, n_partitions: int = 8
+    indices, *, seed: int = 42, total: int, n_partitions: int = 8,
+    skew: bool = False,
 ) -> pa.Table:
     """Generate the valid image rows for an arbitrary index array.
 
-    Pure function of (indices, seed, total, n_partitions) — the body of
-    a ``ray.data.range(n).map_batches`` generation pipeline at bench
-    scale and of the driver-side unit fixtures (same bytes either way).
-    """
+    Pure function of (indices, seed, total, n_partitions, skew) — the
+    body of a ``ray.data.range(n).map_batches`` generation pipeline at
+    bench scale and of the driver-side unit fixtures (same bytes either
+    way).
+
+    ``skew=True`` hardens the already-skewed defaults into the SURVEY
+    §7.3 #7 threat profile the skew scale drill exercises: 99% one
+    ``fmt`` (vs 90%) and a 30% ``phash`` hot cluster (vs 5%) — one key
+    carries nearly the whole table through every fmt groupby and the
+    hot phash forms a single ~0.3·n-member collision group in any
+    hash-keyed dedup."""
     idx = np.asarray(indices, dtype=np.uint64)
     count = len(idx)
     start = int(idx[0]) if count else 0
@@ -80,8 +88,11 @@ def rows_for_indices(
     w = np.where(hot, HOT_DIM[0], rng.integers(16, 129, count)).astype(np.int32)
     h = np.where(hot, HOT_DIM[1], rng.integers(16, 129, count)).astype(np.int32)
 
+    fmt_weights = (
+        {"png": 0.99, "raw": 0.006, "lossy": 0.004} if skew else FMT_WEIGHTS
+    )
     fmts = rng.choice(
-        np.array(list(FMT_WEIGHTS)), size=count, p=np.array(list(FMT_WEIGHTS.values()))
+        np.array(list(fmt_weights)), size=count, p=np.array(list(fmt_weights.values()))
     )
 
     keys = rng.choice(np.array(CAPTION_KEYS), count)
@@ -94,9 +105,8 @@ def rows_for_indices(
     # pattern (per dims) — their phash collides NATURALLY, so the
     # integrity rule still holds while phash-keyed groupbys see a hot
     # key.  Deterministic from the mixed id bits.
-    hot_cluster = (mixed % np.uint64(100)) < np.uint64(
-        int(PHASH_HOT_CLUSTER_FRACTION * 100)
-    )
+    hot_frac = 0.30 if skew else PHASH_HOT_CLUSTER_FRACTION
+    hot_cluster = (mixed % np.uint64(100)) < np.uint64(int(hot_frac * 100))
     payloads: list[bytes] = []
     phashes = np.empty(count, dtype=np.int64)
     for i in range(count):

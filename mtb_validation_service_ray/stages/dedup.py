@@ -413,13 +413,35 @@ def minhash_lsh_candidates(
 
     from ray.data.aggregate import Max
 
+    return _dedupe_pair_stream(
+        pairs,
+        [("n_bands", "doc_a", "count"),
+         ("n_members", "n_members", "max"),
+         ("sampled", "sampled", "max")],
+    )
+
+
+def _dedupe_pair_stream(
+    pairs: rd.Dataset,
+    specs: list[tuple[str, str, str]],
+    *,
+    driver_max_rows: int = 2_000_000,
+) -> rd.Dataset:
+    """Collapse a (doc_a, doc_b)-keyed candidate-pair stream to one row
+    per pair.  ``specs`` = (out_name, src_col, kind∈{count,min,max}).
+
+    Count-gated (same gate pattern as the verify and verdict reduces):
+    a small stream is reduced with ONE vectorized Arrow group_by on the
+    driver — the distributed sort aggregate's ~0.3 s/partition floor
+    dwarfs it — while a large one shuffles with a coalesce width sized
+    from the observed row count (~250k rows/partition, ≤ #CPUs)."""
+    import ray as _ray
+
+    from ray.data.aggregate import Max
+
     pairs = pairs.materialize()
     n_pairs = pairs.count()
-    if n_pairs <= 2_000_000:
-        # count-gated driver fast path (same gate pattern as the verify
-        # and verdict reduces): the band-deduped pair stream is tiny
-        # here, and the distributed sort aggregate's ~0.3 s/partition
-        # floor dwarfs a vectorized Arrow group_by
+    if n_pairs <= driver_max_rows:
         tabs = list(
             pairs.iter_batches(batch_format="pyarrow", batch_size=1 << 18)
         )
@@ -429,26 +451,24 @@ def minhash_lsh_candidates(
             s = pairs.schema()
             t = getattr(s, "base_schema", s).empty_table()
         g = t.group_by(["doc_a", "doc_b"]).aggregate(
-            [("doc_a", "count"), ("n_members", "max"), ("sampled", "max")]
+            [(src, kind) for _, src, kind in specs]
         )
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_a": g.column("doc_a"),
-                    "doc_b": g.column("doc_b"),
-                    "n_bands": g.column("doc_a_count").cast(pa.int64()),
-                    "n_members": g.column("n_members_max"),
-                    "sampled": g.column("sampled_max"),
-                }
-            )
-        )
+        cols = {"doc_a": g.column("doc_a"), "doc_b": g.column("doc_b")}
+        for out, src, kind in specs:
+            col = g.column(f"{src}_{kind}")
+            cols[out] = col.cast(pa.int64()) if kind == "count" else col
+        return rd.from_arrow(pa.table(cols))
     cpus = int(_ray.cluster_resources().get("CPU", 8))
     n_parts = max(4, min(cpus, n_pairs // 250_000 + 1))
-    return pairs.repartition(n_parts).groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_bands"),
-        Max("n_members", alias_name="n_members"),
-        Max("sampled", alias_name="sampled"),
-    )
+    aggs = []
+    for out, src, kind in specs:
+        if kind == "count":
+            aggs.append(Count(alias_name=out))
+        elif kind == "min":
+            aggs.append(Min(src, alias_name=out))
+        else:
+            aggs.append(Max(src, alias_name=out))
+    return pairs.repartition(n_parts).groupby(["doc_a", "doc_b"]).aggregate(*aggs)
 
 
 def verify_jaccard_pairs(
@@ -1008,6 +1028,24 @@ def simhash_candidates(
         fn_constructor_kwargs={"text_col": text_col},
         concurrency=concurrency,
     )
+    return _hamming_chunk_candidates(
+        with_hash,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        max_bucket_pairs=max_bucket_pairs,
+    )
+
+
+def _hamming_chunk_candidates(
+    with_hash: rd.Dataset,
+    *,
+    id_col: str,
+    max_hamming: int,
+    max_bucket_pairs: int,
+) -> rd.Dataset:
+    """Chunk-bucket hamming candidate plan over a Dataset that already
+    carries a 64-bit ``simhash`` column (shared by ``simhash_candidates``
+    and ``hash_hamming_candidates``)."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
 
@@ -1030,32 +1068,52 @@ def simhash_candidates(
         return pa.concat_tables(tables)
 
     def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
+        # numpy boundary detection over a (chunk_id, chunk_val) lexsort;
+        # Python touches only the ≥2-member collision groups (same
+        # singleton-skipping rewrite as the MinHash bucket scan)
         from ..functions.codec import hamming64_batch
 
+        cid = group["chunk_id"].to_numpy()
+        cval = group["chunk_val"].to_numpy()
+        ids_all = group["doc_id"].to_numpy()
+        hs_all = group["simhash"].to_numpy().astype(np.int64)
+        order = np.lexsort((cval, cid))
+        cid_s, cval_s = cid[order], cval[order]
+        ids_s, hs_s = ids_all[order], hs_all[order]
         parts = []
-        for (_, _), sub in group.groupby(["chunk_id", "chunk_val"], sort=False):
-            if len(sub) < 2:
-                continue
-            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
-            if len(sub) < 2:
-                continue
-            ids = sub["doc_id"].to_numpy()
-            hs = sub["simhash"].to_numpy().astype(np.int64)
-            k = len(ids)
-            i, j, was_sampled = _group_pair_indices(k, max_bucket_pairs)
-            sampled = int(was_sampled)
-            d = hamming64_batch(hs[i], hs[j])
-            keep = d <= max_hamming
-            if not keep.any():
-                continue
-            parts.append(
-                pd.DataFrame(
-                    {"doc_a": ids[i][keep], "doc_b": ids[j][keep],
-                     "hamming": d[keep].astype(np.int64),
-                     "n_members": np.full(int(keep.sum()), k, dtype=np.int32),
-                     "sampled": np.full(int(keep.sum()), sampled, dtype=np.int8)}
+        if len(cid_s):
+            change = np.empty(len(cid_s), dtype=bool)
+            change[0] = True
+            np.not_equal(cid_s[1:], cid_s[:-1], out=change[1:])
+            change[1:] |= cval_s[1:] != cval_s[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(cid_s))
+            for gi in np.flatnonzero(ends - starts >= 2):
+                ids = ids_s[starts[gi] : ends[gi]]
+                hs = hs_s[starts[gi] : ends[gi]]
+                o = np.argsort(ids, kind="stable")
+                ids, hs = ids[o], hs[o]
+                first = np.empty(len(ids), dtype=bool)
+                first[0] = True
+                first[1:] = ids[1:] != ids[:-1]
+                ids, hs = ids[first], hs[first]
+                k = len(ids)
+                if k < 2:
+                    continue
+                i, j, was_sampled = _group_pair_indices(k, max_bucket_pairs)
+                sampled = int(was_sampled)
+                d = hamming64_batch(hs[i], hs[j])
+                keep = d <= max_hamming
+                if not keep.any():
+                    continue
+                parts.append(
+                    pd.DataFrame(
+                        {"doc_a": ids[i][keep], "doc_b": ids[j][keep],
+                         "hamming": d[keep].astype(np.int64),
+                         "n_members": np.full(int(keep.sum()), k, dtype=np.int32),
+                         "sampled": np.full(int(keep.sum()), sampled, dtype=np.int8)}
+                    )
                 )
-            )
         if not parts:
             return pd.DataFrame(
                 {"doc_a": pd.Series(dtype=group["doc_id"].dtype),
@@ -1083,13 +1141,44 @@ def simhash_candidates(
         .groupby("_bucket")
         .map_groups(pairs_in_group, batch_format="pandas")
     )
-    import ray as _ray
+    return _dedupe_pair_stream(
+        pairs,
+        [("hamming", "hamming", "min"),
+         ("n_members", "n_members", "max"),
+         ("sampled", "sampled", "max")],
+    )
 
-    from ray.data.aggregate import Max
 
-    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 2)
-    return pairs.repartition(n_parts).groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"),
-        Max("n_members", alias_name="n_members"),
-        Max("sampled", alias_name="sampled"),
+def hash_hamming_candidates(
+    ds: rd.Dataset,
+    *,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_pairs: int = DEFAULT_MAX_BUCKET_PAIRS,
+) -> rd.Dataset:
+    """Near-dup candidate pairs over a PRECOMPUTED 64-bit hash column
+    (e.g. an image table's ``phash``): same pigeonhole chunk-bucket
+    plan as ``simhash_candidates`` but without the text→simhash stage.
+    Within the hamming budget the chunk cover is exhaustive, so absent
+    star-cap sampling the output is exactly the hamming-ball pair set —
+    which is why the image-table query for this op is SQL-oracle-able.
+
+    Output: ``doc_a, doc_b, hamming, n_members, sampled`` with
+    ``doc_a < doc_b`` and ``hamming <= max_hamming``."""
+    cols = ds.select_columns([id_col, hash_col])
+
+    def to_simhash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col),
+                "simhash": batch.column(hash_col).cast(pa.int64()),
+            }
+        )
+
+    return _hamming_chunk_candidates(
+        cols.map_batches(to_simhash, batch_format="pyarrow", zero_copy_batch=True),
+        id_col="doc_id",
+        max_hamming=max_hamming,
+        max_bucket_pairs=max_bucket_pairs,
     )

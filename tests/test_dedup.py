@@ -271,3 +271,40 @@ def test_verify_jaccard_bytes_gate_falls_back_to_join():
     )
     assert gated.equals(plain)
     assert set(zip(gated.doc_a, gated.doc_b)) == {(1, 2), (3, 4)}
+
+
+def test_hash_hamming_candidates_matches_brute_force():
+    """phash-hamming candidates over a precomputed hash column equal
+    the exact hamming ball from an n^2 numpy sweep (uncapped)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mtb_validation_service_ray.stages.dedup import hash_hamming_candidates
+
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**63, 400).astype(np.int64)
+    # plant near-dups at hamming 0..4 (4 must be excluded at budget 3)
+    h[10] = h[11]
+    h[20] = h[21] ^ (1 << 2)
+    h[30] = h[31] ^ ((1 << 9) | (1 << 50))
+    h[40] = h[41] ^ ((1 << 1) | (1 << 33) | (1 << 62))
+    h[50] = h[51] ^ ((1 << 0) | (1 << 15) | (1 << 31) | (1 << 47))
+    ids = np.array([f"i{k:04d}" for k in range(400)])
+    t = pa.table({"image_id": pa.array(ids), "phash": pa.array(h)})
+    got = (
+        hash_hamming_candidates(
+            rd.from_arrow(t), hash_col="phash", id_col="image_id",
+            max_hamming=3, max_bucket_pairs=1_000_000,
+        )
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    # brute force
+    x = h.astype(np.uint64)
+    d = np.bitwise_xor(x[:, None], x[None, :])
+    cnt = np.zeros_like(d, dtype=np.int64)
+    for s in range(64):
+        cnt += ((d >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+    ii, jj = np.where(np.triu(cnt <= 3, k=1))
+    want = sorted(zip(ids[ii], ids[jj], cnt[ii, jj]))
+    assert list(zip(got.doc_a, got.doc_b, got.hamming)) == want
+    assert (got.sampled == 0).all()

@@ -26,8 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-KILL_AFTER = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
+_args = [a for a in sys.argv[1:] if a != "--skew"]
+SKEW = "--skew" in sys.argv[1:]
+N = int(_args[0]) if _args else 1_000_000
+KILL_AFTER = float(_args[1]) if len(_args) > 1 else 30.0
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 HEADLINE_SNIPPET = r"""
@@ -49,12 +51,113 @@ ray.shutdown()
 """
 
 
+SKEW_OPS_SNIPPET = r"""
+import json, os, time, warnings
+warnings.filterwarnings("ignore")
+import ray
+total_mem = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+ray.init(address="local", num_cpus={cpus}, include_dashboard=False,
+         logging_level="ERROR", object_store_memory=int(total_mem * 0.55))
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import ray.data as rd
+from mtb_validation_service_ray.stages.salt import salted_groupby_sum
+from mtb_validation_service_ray.stages.dedup import (
+    hash_hamming_candidates, overflow_report,
+)
+t0 = time.time()
+ds = rd.read_parquet({d!r}, columns=["fmt", "w"])
+fmt_rows = salted_groupby_sum(ds, "fmt", ["w"], salt=32).count()
+salted_sec = round(time.time() - t0, 2)
+t0 = time.time()
+ds2 = rd.read_parquet({d!r}, columns=["image_id", "phash"])
+cands = hash_hamming_candidates(
+    ds2, hash_col="phash", id_col="image_id", max_hamming=3
+)
+n_pairs = cands.count()
+rep = overflow_report(cands)
+dedup_sec = round(time.time() - t0, 2)
+print(json.dumps({{
+    "salted_fmt_rows": fmt_rows, "salted_sec": salted_sec,
+    "dedup_pairs": n_pairs, "dedup_sec": dedup_sec,
+    "overflow_groups": rep.num_rows,
+    "overflow_max_members": (
+        max(rep.column("n_members").to_pylist()) if rep.num_rows else 0
+    ),
+    "overflow_pairs_emitted": (
+        sum(rep.column("n_pairs_emitted").to_pylist()) if rep.num_rows else 0
+    ),
+}}))
+ray.shutdown()
+"""
+
+
 def _job_cmd(images_dir: str, out_dir: str) -> list[str]:
     return [
         sys.executable, "-m", "mtb_validation_service_ray.pipelines.job",
         "--input", images_dir, "--out", out_dir,
         "--chunk-files", "8", "--no-stats", "--num-cpus", str(CPUS),
     ]
+
+
+def _warm_cache(images_dir: str) -> None:
+    for f in os.listdir(images_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(images_dir, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+
+def _run_headline(images_dir: str) -> dict:
+    r = subprocess.run(
+        [sys.executable, "-c", HEADLINE_SNIPPET.format(cpus=CPUS, d=images_dir)],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def skew_main() -> None:
+    """--skew: the VERDICT r3 #7 drill — headline on the uniform AND the
+    hardened-skew fixture (99% one fmt, 30% phash hot cluster), plus the
+    salted fmt aggregate and the capped phash dedup on the skew table;
+    the star cap must degrade gracefully (overflow_report populated)."""
+    from bench import ensure_bench_images
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    uniform_dir = ensure_bench_images(N)
+    skew_dir = ensure_bench_images(N, skew=True)
+    ray.shutdown()
+
+    _warm_cache(uniform_dir)
+    uniform = _run_headline(uniform_dir)
+    assert uniform["n"] == N, (uniform, N)
+    _warm_cache(skew_dir)
+    skew = _run_headline(skew_dir)
+    assert skew["n"] == N, (skew, N)
+
+    r = subprocess.run(
+        [sys.executable, "-c", SKEW_OPS_SNIPPET.format(cpus=CPUS, d=skew_dir)],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    ops = json.loads(r.stdout.strip().splitlines()[-1])
+
+    print(json.dumps({
+        "n_images": N,
+        "num_cpus": CPUS,
+        "uniform_headline_sec": uniform["sec"],
+        "skew_headline_sec": skew["sec"],
+        "skew_over_uniform": round(skew["sec"] / uniform["sec"], 3),
+        **ops,
+    }))
 
 
 def main() -> None:
@@ -151,4 +254,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    skew_main() if SKEW else main()
