@@ -1370,6 +1370,64 @@ def q_asof_latest_order_per_event(sf_dir: str):
     ).sort_by("event_id")
 
 
+def q_range_join_events_in_order_window(sf_dir: str):
+    """Distributed interval (range) join, hash-checked: every event that
+    falls inside its user's opening window (first 6 hours of that user's
+    activity) — the interval side is a per-user groupby-min aggregate
+    fed straight into the keyed plan (hash-bucket equijoin exchange +
+    vectorized range mask); DuckDB recomputes it with a range-predicate
+    join.  (events and orders live in disjoint eras in the fixture, so
+    cross-table windows would be trivially empty — self-derived windows
+    keep the oracle non-trivial.)"""
+    from ..stages.joins import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    six_hours_us = 6 * 3600 * 1_000_000
+
+    def window_of(group: pd.DataFrame) -> pd.DataFrame:
+        lo = group["ts"].min()
+        return pd.DataFrame(
+            {
+                "w_user": [group["user_id"].iloc[0]],
+                "w_start": [lo],
+                "w_end": [lo + pd.Timedelta(microseconds=six_hours_us)],
+            }
+        )
+
+    windows = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(window_of, batch_format="pandas")
+    )
+
+    out = interval_join(
+        ev,
+        windows,
+        ts="ts",
+        bounds=("w_start", "w_end"),
+        payload=["w_start"],
+        key=("user_id", "w_user"),
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "w_start": batch.column("w_start").cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    return _as_table(
+        out.select_columns(["event_id", "user_id", "w_start"]).map_batches(
+            cast, batch_format="pyarrow"
+        )
+    ).sort_by([("event_id", "ascending")])
+
+
 def q_tdigest_value_quantiles(sf_dir: str):
     """t-digest quantiles of events.value (rows-only; tolerance-checked
     against numpy in tests)."""
@@ -2162,6 +2220,7 @@ QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "tdigest_value_quantiles": q_tdigest_value_quantiles,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
+    "range_join_events_in_order_window": q_range_join_events_in_order_window,
     "image_validate": q_image_validate,
     "image_validate_meta": q_image_validate_meta,
     "image_verdict_meta": q_image_verdict_meta,
@@ -2204,6 +2263,19 @@ ORACLE_SQL["asof_latest_order_per_event"] = """
     FROM events e ASOF LEFT JOIN r
       ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
     ORDER BY event_id"""
+
+ORACLE_SQL["range_join_events_in_order_window"] = """
+    WITH w AS (
+      SELECT user_id AS w_user, min(ts) AS w_start,
+             min(ts) + INTERVAL 6 HOUR AS w_end
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, w.w_start
+    FROM events e JOIN w
+      ON e.user_id = w.w_user
+     AND e.ts >= w.w_start
+     AND e.ts < w.w_end
+    ORDER BY e.event_id"""
 
 ORACLE_SQL["image_phash_near_dups"] = f"""
     WITH src AS (SELECT image_id, phash

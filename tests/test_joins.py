@@ -125,3 +125,92 @@ def test_asof_matches_pandas_reference_randomized():
         assert got.p.fillna(-1).astype(np.int64).equals(
             want.p.fillna(-1).astype(np.int64)
         ), direction
+
+
+def _brute_interval(ldf, idf, *, keyed, right_incl=False):
+    rows = []
+    for _, p in ldf.iterrows():
+        for _, iv in idf.iterrows():
+            if keyed and p.k != iv.ik:
+                continue
+            hi_ok = p.t <= iv.e if right_incl else p.t < iv.e
+            if iv.s <= p.t and hi_ok:
+                rows.append((p.eid, iv.p))
+    return sorted(rows)
+
+
+def test_interval_join_keyed_matches_brute_force():
+    from mtb_validation_service_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(3)
+    n_p, n_i = 1500, 300
+    base = np.datetime64("2024-01-01", "us")
+    pts = pa.table(
+        {
+            "eid": pa.array(np.arange(n_p), pa.int64()),
+            "k": pa.array(rng.integers(0, 40, n_p), pa.int64()),
+            "t": pa.array(base + rng.integers(0, 10**8, n_p).astype("timedelta64[us]")),
+        }
+    )
+    s = rng.integers(0, 10**8, n_i)
+    ln = rng.integers(1, 5 * 10**6, n_i)
+    ivs = pa.table(
+        {
+            "ik": pa.array(rng.integers(0, 50, n_i), pa.int64()),
+            "s": pa.array(base + s.astype("timedelta64[us]")),
+            "e": pa.array(base + (s + ln).astype("timedelta64[us]")),
+            "p": pa.array(np.arange(n_i) + 1000, pa.int64()),
+        }
+    )
+    got = (
+        interval_join(
+            rd.from_arrow(pts).repartition(4),
+            rd.from_arrow(ivs).repartition(3),
+            ts="t", bounds=("s", "e"), payload=["p"],
+            key=("k", "ik"), num_buckets=8,
+        )
+        .to_pandas()
+    )
+    assert list(got.columns) == ["eid", "k", "t", "p"]
+    want = _brute_interval(pts.to_pandas(), ivs.to_pandas(), keyed=True)
+    assert sorted(zip(got.eid, got.p)) == want
+    assert got.t.dtype.kind == "M"
+
+
+def test_interval_join_unkeyed_slab_matches_brute_force():
+    from mtb_validation_service_ray.stages.joins import interval_join
+
+    rng = np.random.default_rng(5)
+    n_p, n_i = 1200, 120
+    base = np.datetime64("2024-01-01", "us")
+    pts = pa.table(
+        {
+            "eid": pa.array(np.arange(n_p), pa.int64()),
+            "k": pa.array(np.zeros(n_p), pa.float64()),
+            "t": pa.array(base + rng.integers(0, 10**8, n_p).astype("timedelta64[us]")),
+        }
+    )
+    s = rng.integers(0, 10**8, n_i)
+    ln = rng.integers(1, 3 * 10**6, n_i)
+    ivs = pa.table(
+        {
+            "ik": pa.array(np.zeros(n_i), pa.float64()),
+            "s": pa.array(base + s.astype("timedelta64[us]")),
+            "e": pa.array(base + (s + ln).astype("timedelta64[us]")),
+            "p": pa.array(np.arange(n_i) + 1000, pa.int64()),
+        }
+    )
+    for closed, incl in (("left", False), ("both", True)):
+        got = (
+            interval_join(
+                rd.from_arrow(pts).repartition(4),
+                rd.from_arrow(ivs).repartition(3),
+                ts="t", bounds=("s", "e"), payload=["p"],
+                closed=closed, num_buckets=6,
+            )
+            .to_pandas()
+        )
+        want = _brute_interval(
+            pts.to_pandas(), ivs.to_pandas(), keyed=False, right_incl=incl
+        )
+        assert sorted(zip(got.eid, got.p)) == want, closed
