@@ -1428,6 +1428,129 @@ def q_range_join_events_in_order_window(sf_dir: str):
     ).sort_by([("event_id", "ascending")])
 
 
+def q_events_sliding_window(sf_dir: str):
+    """Sliding (hopping) 6-hour windows every hour over events, keyed
+    by event_type — partial-aggregated inside the batch (lexsort +
+    reduceat) so the k=6 replication never crosses the shuffle;
+    DuckDB recomputes it by exploding each event into its 6 windows."""
+    from ..stages.windows import sliding_window_agg
+
+    hour_us = 3600 * 1_000_000
+    out = sliding_window_agg(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]),
+        ts_col="ts",
+        key_col="event_type",
+        size_us=6 * hour_us,
+        slide_us=hour_us,
+        value_col="value",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.strftime(
+                    batch.column("window_start").cast(pa.timestamp("s")),
+                    format="%Y-%m-%d %H:%M:%S",
+                ),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+                "sum_value": pa.array(
+                    _round_away(
+                        batch.column("sum_value").to_numpy(
+                            zero_copy_only=False
+                        ),
+                        2,
+                    )
+                ),
+                "min_value": batch.column("min_value").cast(pa.float64()),
+                "max_value": batch.column("max_value").cast(pa.float64()),
+                # avg as exact integer-cents floor division: values are
+                # 2-decimal, so sum*100 is an integer (FP error ≪ 0.5
+                # cents) and cents//n is tie-free — ROUND(sum/n, k)
+                # would coin-flip on half-way ties vs the SQL oracle
+                "avg_value": pa.array(
+                    np.floor_divide(
+                        np.rint(
+                            batch.column("sum_value")
+                            .to_numpy(zero_copy_only=False)
+                            * 100.0
+                        ).astype(np.int64),
+                        batch.column("n_events")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64),
+                    )
+                    / 100.0
+                ),
+            }
+        )
+
+    return _as_table(out.map_batches(cast, batch_format="pyarrow")).sort_by(
+        [("window_start", "ascending"), ("event_type", "ascending")]
+    )
+
+
+def q_split_lineitem_hash(sf_dir: str):
+    """Deterministic hash train/val/test split of lineitem by
+    l_orderkey (all lines of one order share a split — no leakage),
+    hash-checked: the split hash is plain modular arithmetic
+    (``((k % 2^32) * 2654435761) % 2^32``) so DuckDB recomputes the
+    EXACT assignment, verified here by per-split row counts and
+    quantity sums."""
+    from ..stages.split import hash_split
+
+    out = hash_split(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        key_col="l_orderkey",
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    agg = out.groupby("split").aggregate(
+        Count(alias_name="n_rows"),
+        Sum("l_quantity", alias_name="sum_qty"),
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": batch.column("split"),
+                "n_rows": batch.column("n_rows").cast(pa.int64()),
+                "sum_qty": pa.array(
+                    _round_away(
+                        batch.column("sum_qty").to_numpy(zero_copy_only=False),
+                        2,
+                    )
+                ),
+            }
+        )
+
+    return _as_table(agg.map_batches(cast, batch_format="pyarrow")).sort_by(
+        "split"
+    )
+
+
+def q_cap_events_per_user(sf_dir: str):
+    """Per-key cap — keep each user's 3 earliest events (ties broken by
+    event_id), the "cap documents per domain" curation primitive;
+    DuckDB recomputes it with row_number() OVER (PARTITION BY ...)."""
+    from ..stages.split import cap_per_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = cap_per_key(ev, key_col="user_id", n=3, order_cols=["ts", "event_id"])
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+            }
+        )
+
+    return _as_table(
+        out.select_columns(["event_id", "user_id"]).map_batches(
+            cast, batch_format="pyarrow"
+        )
+    ).sort_by("event_id")
+
+
 def q_tdigest_value_quantiles(sf_dir: str):
     """t-digest quantiles of events.value (rows-only; tolerance-checked
     against numpy in tests)."""
@@ -2221,6 +2344,9 @@ QUERIES = {
     "tdigest_value_quantiles": q_tdigest_value_quantiles,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "range_join_events_in_order_window": q_range_join_events_in_order_window,
+    "events_sliding_window": q_events_sliding_window,
+    "split_lineitem_hash": q_split_lineitem_hash,
+    "cap_events_per_user": q_cap_events_per_user,
     "image_validate": q_image_validate,
     "image_validate_meta": q_image_validate_meta,
     "image_verdict_meta": q_image_verdict_meta,
@@ -2285,6 +2411,48 @@ ORACLE_SQL["image_phash_near_dups"] = f"""
     FROM src a JOIN src b ON a.image_id < b.image_id
     WHERE bit_count(xor(a.phash, b.phash)) <= 3
     ORDER BY doc_a, doc_b"""
+
+ORACLE_SQL["events_sliding_window"] = """
+    WITH x AS (
+        SELECT (epoch_us(ts) // 3600000000 - t.j) * 3600000000 AS ws_us,
+               event_type, value
+        FROM events CROSS JOIN range(6) t(j)
+    )
+    SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           (CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) // COUNT(*))
+               / 100.0 AS avg_value
+    FROM x GROUP BY ws_us, event_type
+    ORDER BY window_start, event_type"""
+
+ORACLE_SQL["split_lineitem_hash"] = """
+    WITH h AS (
+        SELECT l_quantity,
+               CAST((CAST(l_orderkey % 4294967296 AS HUGEINT)
+                     * 2654435761) % 4294967296 AS DOUBLE) AS hv
+        FROM lineitem
+    )
+    SELECT CASE WHEN hv < 0.9 * 4294967296 THEN 'train'
+                WHEN hv < (0.9 + 0.05) * 4294967296 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM h GROUP BY split ORDER BY split"""
+
+ORACLE_SQL["cap_events_per_user"] = """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id
+    FROM (
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 3 ORDER BY event_id"""
 
 ORACLE_SQL["image_verdict_summary"] = f"""
     SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_records,

@@ -1,0 +1,116 @@
+"""Deterministic dataset partitioning for training pipelines: hash
+train/val/test splits and per-key caps.
+
+The reference service (request/response validation) has no notion of
+dataset splits; these are the training-data-pipeline operators the
+brief asks for beyond reference parity.  Both are deterministic pure
+functions of the data — rerunning a failed 100 TB job reproduces the
+same assignment with no stored state, and the int-key hash is plain
+modular arithmetic so a SQL oracle can recompute it exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+# Knuth multiplicative hash constant (2^32 / golden ratio); public
+# domain folklore, used here because SQL can recompute it exactly.
+_KNUTH = 2654435761
+_MOD = 1 << 32
+
+
+def split_hash_u32(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Deterministic 32-bit mix of integer keys: ``(((k + salt) % 2^32)
+    * KNUTH) % 2^32``.  The salt shifts the key BEFORE the multiply so
+    a different salt reshuffles every band assignment (an additive
+    post-multiply salt would only move keys within ``salt`` of a band
+    boundary).  Reduced mod 2^32 before the multiply so the product
+    fits uint64 for any int64 key — the SQL equivalent is
+    ``(((k + salt) % 4294967296) * 2654435761) % 4294967296``."""
+    k = (keys.astype(np.uint64) + np.uint64(salt)) % np.uint64(_MOD)
+    return (k * np.uint64(_KNUTH)) % np.uint64(_MOD)
+
+
+def hash_split(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Append a deterministic ``split`` column ("train"/"val"/...):
+    rows whose hashed key falls in the first ``fractions["train"]`` of
+    [0, 1) are train, the next band val, etc.  All rows sharing a key
+    land in the same split (no leakage across splits for grouped data).
+
+    Pure ``map_batches`` — no shuffle, no state, streams at any scale;
+    the assignment depends only on (key, salt)."""
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    # cumulative upper bounds scaled to the 32-bit hash space
+    bounds = np.cumsum([fractions[n] for n in names]) * _MOD
+    bounds[-1] = _MOD  # guard against float rounding at the top end
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = split_hash_u32(keys, salt).astype(np.float64)
+        idx = np.searchsorted(bounds, h, side="right")
+        arr = np.array(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(arr, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cap_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    n: int,
+    order_cols: str | list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Keep at most ``n`` rows per key, chosen deterministically as the
+    smallest ``order_cols`` values (include a unique id as the last
+    order column to break ties — or a precomputed hash of it for an
+    unbiased sample).
+    The "cap documents per domain" primitive of web-scale corpus
+    curation.
+
+    Keys are hash-bucketed (one shuffle, B ≈ #CPUs buckets); each
+    bucket ranks ALL its keys in one vectorized pandas body (lexsort +
+    per-key cumcount), so per-group Python scales with #buckets, never
+    #keys.  A key hotter than a worker's heap would need a pre-cap
+    inside ``map_batches`` first (same partial trick as the windowed
+    aggregates); with B buckets ≫ that is rare."""
+    from ..functions.sketches import hash64
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    oc = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def cap_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, *oc], kind="stable")
+        rank = g.groupby(key_col, sort=False).cumcount()
+        return g[rank < n].drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(cap_bucket, batch_format="pandas")
+    )

@@ -159,3 +159,102 @@ def session_windows(
         .groupby("_bucket")
         .map_groups(sessionize_bucket, batch_format="pandas")
     )
+
+
+def sliding_window_agg(
+    ds: rd.Dataset,
+    *,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    size_us: int,
+    slide_us: int,
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Sliding (hopping) window aggregate: windows of ``size_us`` every
+    ``slide_us`` microseconds, aligned to epoch multiples of the slide.
+    ``size_us`` must be a multiple of ``slide_us``, so every event lands
+    in exactly ``k = size/slide`` windows.
+
+    Scale shape: the k-fold replication happens inside ``map_batches``
+    AND is immediately collapsed to per-(window, key) PARTIALS in the
+    same batch body (count/sum/min/max via lexsort + ``reduceat``), so
+    the shuffle moves at most ``k × distinct(window, key)`` partial rows
+    per batch — not k× the event stream.  One small hash groupby then
+    merges partials; avg is derived after the merge.  No ordering
+    requirement, no per-row Python."""
+    import numpy as np
+
+    if size_us % slide_us != 0:
+        raise ValueError("size_us must be a multiple of slide_us")
+    k = size_us // slide_us
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view("int64")
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n = len(t)
+        # window j of event t starts at (t//slide - j) * slide, j<k
+        base = t // slide_us
+        win = (
+            np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), n)
+        ) * slide_us
+        vv = np.repeat(v, k)
+        if key_col is not None:
+            keys = batch.column(key_col)
+            kcodes, kuniq = (
+                pd.factorize(pd.Series(keys.to_pandas()), sort=False)
+            )
+            kk = np.repeat(kcodes.astype(np.int64), k)
+            order = np.lexsort((kk, win))
+            win_s, kk_s = win[order], kk[order]
+            change = np.r_[
+                True, (win_s[1:] != win_s[:-1]) | (kk_s[1:] != kk_s[:-1])
+            ]
+        else:
+            order = np.argsort(win, kind="stable")
+            win_s = win[order]
+            change = np.r_[True, win_s[1:] != win_s[:-1]]
+        vv_s = vv[order]
+        starts = np.flatnonzero(change)
+        cnt = np.diff(np.r_[starts, len(vv_s)])
+        sums = np.add.reduceat(vv_s, starts)
+        mins = np.minimum.reduceat(vv_s, starts)
+        maxs = np.maximum.reduceat(vv_s, starts)
+        out = {
+            "window_start": pa.array(
+                win_s[starts].view("datetime64[us]")
+            ),
+            "_n": pa.array(cnt.astype(np.int64)),
+            "_sum": pa.array(sums),
+            "_min": pa.array(mins),
+            "_max": pa.array(maxs),
+        }
+        if key_col is not None:
+            out[key_col] = pa.array(
+                pd.Series(kuniq).to_numpy()[kk_s[starts]]
+            ).cast(batch.schema.field(key_col).type)
+        return pa.table(out)
+
+    keys = ["window_start"] + ([key_col] if key_col else [])
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys)
+        .aggregate(
+            Sum("_n", alias_name="n_events"),
+            Sum("_sum", alias_name="sum_value"),
+            Min("_min", alias_name="min_value"),
+            Max("_max", alias_name="max_value"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            batch.column("sum_value"),
+            pc.cast(batch.column("n_events"), pa.float64()),
+        )
+        return batch.append_column("avg_value", avg)
+
+    return merged.map_batches(finish, batch_format="pyarrow")

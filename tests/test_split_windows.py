@@ -1,0 +1,155 @@
+"""hash_split / cap_per_key / sliding_window_agg: deterministic
+assignment, no-leakage invariants, and brute-force window references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from mtb_validation_service_ray.stages.split import (
+    cap_per_key,
+    hash_split,
+    split_hash_u32,
+)
+from mtb_validation_service_ray.stages.windows import sliding_window_agg
+
+
+def test_hash_split_deterministic_and_leak_free():
+    keys = np.arange(1, 5001, dtype=np.int64)
+    t = pa.table({"k": pa.array(np.repeat(keys, 2)),
+                  "v": pa.array(np.arange(10000, dtype=np.float64))})
+    out = hash_split(rd.from_arrow(t), key_col="k").to_pandas()
+    # every row of a key lands in the same split (no leakage)
+    per_key = out.groupby("k")["split"].nunique()
+    assert (per_key == 1).all()
+    # deterministic: a rerun yields the identical assignment
+    out2 = hash_split(rd.from_arrow(t), key_col="k").to_pandas()
+    a = out.sort_values(["k", "v"]).reset_index(drop=True)
+    b = out2.sort_values(["k", "v"]).reset_index(drop=True)
+    assert a.split.tolist() == b.split.tolist()
+    # fractions roughly honored on distinct keys
+    fr = out.drop_duplicates("k").split.value_counts(normalize=True)
+    assert abs(fr.get("train", 0) - 0.9) < 0.03
+    assert abs(fr.get("val", 0) - 0.05) < 0.02
+    assert abs(fr.get("test", 0) - 0.05) < 0.02
+
+
+def test_hash_split_salt_changes_assignment():
+    keys = np.arange(2000, dtype=np.int64)
+    t = pa.table({"k": pa.array(keys)})
+    a = hash_split(rd.from_arrow(t), key_col="k", salt=0).to_pandas()
+    b = hash_split(rd.from_arrow(t), key_col="k", salt=7).to_pandas()
+    a = a.sort_values("k").reset_index(drop=True)
+    b = b.sort_values("k").reset_index(drop=True)
+    assert (a.split != b.split).any()
+
+
+def test_split_hash_u32_matches_sql_formula():
+    ks = np.array([0, 1, 17, 2**31, 2**40 + 3, 2**62], dtype=np.int64)
+    got = split_hash_u32(ks)
+    want = [((int(k) % 2**32) * 2654435761) % 2**32 for k in ks]
+    assert got.tolist() == want
+    got_s = split_hash_u32(ks, salt=9)
+    want_s = [(((int(k) + 9) % 2**32) * 2654435761) % 2**32 for k in ks]
+    assert got_s.tolist() == want_s
+
+
+def test_cap_per_key_matches_pandas_reference():
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 200, n).astype(np.int64),
+            "ord": rng.integers(0, 50, n).astype(np.int64),
+        }
+    )
+    out = (
+        cap_per_key(
+            rd.from_pandas(df), key_col="key", n=3,
+            order_cols=["ord", "id"], num_buckets=8,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    ref = df.sort_values(["key", "ord", "id"], kind="stable")
+    ref = ref[ref.groupby("key", sort=False).cumcount() < 3]
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert out.id.tolist() == ref.id.tolist()
+    assert (out.groupby("key").size() <= 3).all()
+
+
+def test_sliding_window_matches_brute_force():
+    rng = np.random.default_rng(5)
+    n = 3000
+    base = pd.Timestamp("2024-03-01").value // 1000
+    ts_us = base + rng.integers(0, 72 * 3600, n) * 1_000_000
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(ts_us, unit="us"),
+            "g": rng.choice(["a", "b", "c"], n),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+    size_us, slide_us = 4 * 3600 * 1_000_000, 3600 * 1_000_000
+    out = (
+        sliding_window_agg(
+            rd.from_pandas(df), ts_col="ts", key_col="g",
+            size_us=size_us, slide_us=slide_us, value_col="value",
+        )
+        .to_pandas().sort_values(["window_start", "g"]).reset_index(drop=True)
+    )
+    # brute force: explode each event into its k windows
+    k = size_us // slide_us
+    t = df.ts.astype("int64").to_numpy() // 1000  # ns → us
+    rows = []
+    for j in range(k):
+        w = (t // slide_us - j) * slide_us
+        rows.append(pd.DataFrame({"w": w, "g": df.g, "v": df.value}))
+    ex = pd.concat(rows)
+    ref = (
+        ex.groupby(["w", "g"])
+        .agg(n_events=("v", "size"), sum_value=("v", "sum"),
+             min_value=("v", "min"), max_value=("v", "max"))
+        .reset_index()
+    )
+    ref["w"] = pd.to_datetime(ref.w, unit="us")
+    ref = ref.sort_values(["w", "g"]).reset_index(drop=True)
+    assert len(out) == len(ref)
+    assert out.window_start.tolist() == ref.w.tolist()
+    assert out.g.tolist() == ref.g.tolist()
+    assert out.n_events.tolist() == ref.n_events.tolist()
+    np.testing.assert_allclose(out.sum_value, ref.sum_value, atol=1e-6)
+    np.testing.assert_allclose(out.min_value, ref.min_value, atol=0)
+    np.testing.assert_allclose(out.max_value, ref.max_value, atol=0)
+    np.testing.assert_allclose(
+        out.avg_value, ref.sum_value / ref.n_events, atol=1e-9
+    )
+
+
+def test_sliding_window_unkeyed_and_size_validation():
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 01:20", "2024-01-01 01:40"]
+            ),
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    out = (
+        sliding_window_agg(
+            rd.from_pandas(df), ts_col="ts", key_col=None,
+            size_us=2 * 3600 * 1_000_000, slide_us=3600 * 1_000_000,
+            value_col="value",
+        )
+        .to_pandas().sort_values("window_start").reset_index(drop=True)
+    )
+    # windows: 23:00(evt1), 00:00(evt1+2+3), 01:00(evt2+3)
+    assert out.n_events.tolist() == [1, 3, 2]
+    np.testing.assert_allclose(out.sum_value, [1.0, 6.0, 5.0])
+    import pytest
+
+    with pytest.raises(ValueError):
+        sliding_window_agg(
+            rd.from_pandas(df), ts_col="ts", size_us=5, slide_us=2,
+            value_col="value",
+        )
