@@ -1551,6 +1551,147 @@ def q_cap_events_per_user(sf_dir: str):
     ).sort_by("event_id")
 
 
+def q_text_top_terms(sf_dir: str):
+    """Corpus vocabulary top-k: 20 most frequent whitespace terms
+    (Arrow-native tokenize, Zipf-bounded partial counts, distributed
+    top-k merge); ties broken by term ascending.  DuckDB recomputes it
+    by unnesting the normalized token list."""
+    from ..stages.vocab import top_terms
+
+    return top_terms(
+        _read(sf_dir, "documents", ["text"]), text_col="text", k=20
+    )
+
+
+def q_events_rolling_avg(sf_dir: str):
+    """Per-key rolling window (ROWS 2 PRECEDING): count and avg of each
+    user's last 3 events by time; avg via tie-free integer-cents floor
+    division (same convention as events_sliding_window)."""
+    from ..stages.windows import rolling_window_per_key
+
+    out = rolling_window_per_key(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        window_rows=3,
+        tiebreak_col="event_id",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        n = batch.column("roll_n").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        s = batch.column("roll_sum").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "roll_n": pa.array(n),
+                "roll_avg": pa.array(
+                    np.floor_divide(
+                        np.rint(s * 100.0).astype(np.int64), n
+                    )
+                    / 100.0
+                ),
+            }
+        )
+
+    return _as_table(
+        out.select_columns(
+            ["event_id", "user_id", "roll_n", "roll_sum"]
+        ).map_batches(cast, batch_format="pyarrow")
+    ).sort_by("event_id")
+
+
+def q_sample_orders_hash(sf_dir: str):
+    """Deterministic 10% Bernoulli sample of orders by hashed key
+    (rerun-stable, SQL-recomputable), summarized per order status."""
+    from ..stages.split import hash_sample
+
+    out = hash_sample(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]),
+        key_col="o_orderkey",
+        fraction=0.1,
+    )
+    agg = out.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="sum_price"),
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "n_orders": batch.column("n_orders").cast(pa.int64()),
+                "sum_price": pa.array(
+                    _round_away(
+                        batch.column("sum_price").to_numpy(
+                            zero_copy_only=False
+                        ),
+                        2,
+                    )
+                ),
+            }
+        )
+
+    return _as_table(agg.map_batches(cast, batch_format="pyarrow")).sort_by(
+        "o_orderstatus"
+    )
+
+
+def q_events_value_quantiles_exact(sf_dir: str):
+    """EXACT grouped quantiles (rank selection, no interpolation) of
+    events.value per event_type — the exact twin of the t-digest
+    sketch lane, hash-checked because every result is a real data
+    element."""
+    from ..stages.stats import grouped_quantiles
+
+    out = grouped_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        key_col="event_type",
+        value_col="value",
+        qs=(0.25, 0.5, 0.75),
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "q": batch.column("q").cast(pa.float64()),
+                "value": batch.column("value").cast(pa.float64()),
+            }
+        )
+
+    return _as_table(out.map_batches(cast, batch_format="pyarrow")).sort_by(
+        [("event_type", "ascending"), ("q", "ascending")]
+    )
+
+
+def q_events_pivot_user_type(sf_dir: str):
+    """Pivot / one-hot aggregate: per-user event counts, one column per
+    event type (explicit category list → stable schema)."""
+    from ..stages.stats import pivot_counts
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    out = pivot_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        key_col="user_id",
+        pivot_col="event_type",
+        categories=cats,
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch.column("user_id").cast(pa.int64())}
+        for c in cats:
+            cols[f"n_{c}"] = batch.column(f"n_{c}").cast(pa.int64())
+        return pa.table(cols)
+
+    return _as_table(out.map_batches(cast, batch_format="pyarrow")).sort_by(
+        "user_id"
+    )
+
+
 def q_tdigest_value_quantiles(sf_dir: str):
     """t-digest quantiles of events.value (rows-only; tolerance-checked
     against numpy in tests)."""
@@ -2347,6 +2488,11 @@ QUERIES = {
     "events_sliding_window": q_events_sliding_window,
     "split_lineitem_hash": q_split_lineitem_hash,
     "cap_events_per_user": q_cap_events_per_user,
+    "text_top_terms": q_text_top_terms,
+    "events_rolling_avg": q_events_rolling_avg,
+    "sample_orders_hash": q_sample_orders_hash,
+    "events_value_quantiles_exact": q_events_value_quantiles_exact,
+    "events_pivot_user_type": q_events_pivot_user_type,
     "image_validate": q_image_validate,
     "image_validate_meta": q_image_validate_meta,
     "image_verdict_meta": q_image_verdict_meta,
@@ -2453,6 +2599,66 @@ ORACLE_SQL["cap_events_per_user"] = """
                                   ORDER BY ts, event_id) AS rn
         FROM events
     ) WHERE rn <= 3 ORDER BY event_id"""
+
+ORACLE_SQL["text_top_terms"] = """
+    WITH toks AS (
+        SELECT unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS n
+    FROM toks WHERE term <> ''
+    GROUP BY term ORDER BY n DESC, term LIMIT 20"""
+
+ORACLE_SQL["events_rolling_avg"] = """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(cnt AS BIGINT) AS roll_n,
+           (CAST(ROUND(s * 100, 0) AS BIGINT) // cnt) / 100.0 AS roll_avg
+    FROM (
+        SELECT event_id, user_id,
+               COUNT(value) OVER w AS cnt,
+               SUM(value) OVER w AS s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ) ORDER BY event_id"""
+
+ORACLE_SQL["sample_orders_hash"] = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE CAST((CAST(o_orderkey % 4294967296 AS HUGEINT) * 2654435761)
+               % 4294967296 AS DOUBLE) < 0.1 * 4294967296
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+ORACLE_SQL["events_value_quantiles_exact"] = """
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), qq AS (SELECT unnest([0.25, 0.5, 0.75]) AS q)
+    SELECT r.event_type AS event_type, qq.q AS q, r.value AS value
+    FROM r JOIN qq
+      ON r.rn = GREATEST(1, CAST(CEIL(qq.q * r.n) AS BIGINT))
+    ORDER BY event_type, q"""
+
+ORACLE_SQL["events_pivot_user_type"] = """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS n_error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+               AS n_signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS n_view
+    FROM events GROUP BY user_id ORDER BY user_id"""
 
 ORACLE_SQL["image_verdict_summary"] = f"""
     SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_records,

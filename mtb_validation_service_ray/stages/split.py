@@ -68,6 +68,31 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_sample(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    fraction: float,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Deterministic Bernoulli sample: keep rows whose hashed key falls
+    in the first ``fraction`` of the 32-bit hash space.  Unlike
+    ``Dataset.random_sample`` the decision is a pure function of
+    ``(key, salt)`` — reruns, retried tasks and downstream joins all see
+    the SAME sample, and all rows of one key are kept or dropped
+    together.  Pure ``map_batches`` filter: no shuffle, no state."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bound = fraction * _MOD
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = split_hash_u32(keys, salt).astype(np.float64)
+        return batch.filter(pa.array(h < bound))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def cap_per_key(
     ds: rd.Dataset,
     *,

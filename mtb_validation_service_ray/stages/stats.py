@@ -328,3 +328,119 @@ def drift_violations(
     if not out:
         return VIOLATION_SCHEMA.empty_table()
     return pa.concat_tables(out)
+
+
+def grouped_quantiles(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> rd.Dataset:
+    """EXACT per-group quantiles by rank selection: for each quantile q
+    the element at 1-based rank ``max(1, ceil(q * n))`` of the group's
+    sorted values — a discrete (no-interpolation) quantile whose result
+    is always an actual data element, so equality against a SQL oracle
+    is exact (no FP interpolation ties).  Complements the t-digest
+    sketch: this lane is exact and shuffles each group to one worker
+    (``map_groups``), the sketch lane is mergeable and never moves raw
+    rows — pick by group size.  Skew bound: one group's values must fit
+    a worker's heap; beyond that, use ``tdigest_quantiles``."""
+    q_arr = np.asarray(qs, dtype=np.float64)
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group[value_col].to_numpy(dtype=np.float64))
+        n = len(v)
+        ranks = np.maximum(1, np.ceil(q_arr * n).astype(np.int64))
+        return pd.DataFrame(
+            {
+                key_col: [group[key_col].iloc[0]] * len(q_arr),
+                "q": q_arr,
+                "value": v[ranks - 1],
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pandas")
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    pivot_col: str,
+    categories: list[str],
+) -> rd.Dataset:
+    """Pivot (one-hot aggregate): one row per key with a count column
+    per category — the wide feature layout a training pipeline feeds to
+    a model.  ``categories`` is explicit so the output schema is stable
+    and known before execution (required for streaming plans; also the
+    only sane contract at 100 TB — discovering categories on the fly
+    would need an extra pass).
+
+    Scale shape: counts collapse to per-(key, category) partials inside
+    each batch, ONE hash groupby merges them, and the widening is a
+    vectorized column select on the already-tiny merged stream."""
+    from ray.data.aggregate import Sum as _Sum
+
+    cat_to_idx = {c: i for i, c in enumerate(categories)}
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        cats = batch.column(pivot_col).to_numpy(zero_copy_only=False)
+        idx = np.array(
+            [cat_to_idx.get(c, -1) for c in cats], dtype=np.int64
+        )
+        keep = idx >= 0
+        keys, idx = keys[keep], idx[keep]
+        order = np.lexsort((idx, keys))
+        ks, ix = keys[order], idx[order]
+        change = np.r_[True, (ks[1:] != ks[:-1]) | (ix[1:] != ix[:-1])]
+        starts = np.flatnonzero(change)
+        cnt = np.diff(np.r_[starts, len(ks)])
+        return pa.table(
+            {
+                key_col: pa.array(ks[starts]).cast(
+                    batch.schema.field(key_col).type
+                ),
+                "_cat": pa.array(ix[starts].astype(np.int32)),
+                "_n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "_cat"])
+        .aggregate(_Sum("_n", alias_name="n"))
+    )
+
+    from ..functions.sketches import hash64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(64)).astype(np.int32))
+        )
+
+    def widen_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pivot per BUCKET of keys (never per key)
+        wide = group.pivot_table(
+            index=key_col, columns="_cat", values="n",
+            aggfunc="sum", fill_value=0,
+        )
+        out = pd.DataFrame({key_col: wide.index.to_numpy()})
+        for i, c in enumerate(categories):
+            col = (
+                wide[i].to_numpy()
+                if i in wide.columns
+                else np.zeros(len(wide), dtype=np.int64)
+            )
+            out[f"n_{c}"] = col.astype(np.int64)
+        return out
+
+    return (
+        merged.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_bucket")
+        .map_groups(widen_bucket, batch_format="pandas")
+    )

@@ -258,3 +258,56 @@ def sliding_window_agg(
         return batch.append_column("avg_value", avg)
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def rolling_window_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int,
+    tiebreak_col: str | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Row-based rolling aggregate per key: for each row, the
+    count/sum of the last ``window_rows`` rows of the SAME key ordered
+    by ``(ts, tiebreak)`` — the SQL ``ROWS BETWEEN w-1 PRECEDING AND
+    CURRENT ROW`` window, as a distributed operator.
+
+    Keys are hash-bucketed (one shuffle); each bucket computes every
+    key's rolling windows in one vectorized pandas body (grouped
+    ``rolling`` over the bucket-sorted frame).  Per-key state never
+    crosses buckets, so this scales with #keys, bounded per worker by
+    the hottest key's row count (same contract as ``session_windows``)."""
+    from ..functions.sketches import hash64
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype("int32"))
+        )
+
+    order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def roll_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order, kind="stable").reset_index(drop=True)
+        r = g.groupby(key_col, sort=False)[value_col].rolling(
+            window_rows, min_periods=1
+        )
+        g["roll_n"] = r.count().to_numpy().astype("int64")
+        g["roll_sum"] = r.sum().to_numpy()
+        return g.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(roll_bucket, batch_format="pandas")
+    )

@@ -153,3 +153,125 @@ def test_sliding_window_unkeyed_and_size_validation():
             rd.from_pandas(df), ts_col="ts", size_us=5, slide_us=2,
             value_col="value",
         )
+
+
+def test_hash_sample_deterministic_and_unbiased():
+    keys = np.arange(20000, dtype=np.int64)
+    t = pa.table({"k": pa.array(keys)})
+    from mtb_validation_service_ray.stages.split import hash_sample
+
+    a = hash_sample(rd.from_arrow(t), key_col="k", fraction=0.2).to_pandas()
+    b = hash_sample(rd.from_arrow(t), key_col="k", fraction=0.2).to_pandas()
+    assert sorted(a.k) == sorted(b.k)  # rerun-stable
+    assert abs(len(a) / len(keys) - 0.2) < 0.02
+    # nested property: a smaller fraction is a subset of a larger one
+    c = hash_sample(rd.from_arrow(t), key_col="k", fraction=0.05).to_pandas()
+    assert set(c.k) <= set(a.k)
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_sample(rd.from_arrow(t), key_col="k", fraction=1.5)
+
+
+def test_rolling_window_matches_pandas_reference():
+    from mtb_validation_service_ray.stages.windows import (
+        rolling_window_per_key,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 100, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n), unit="s", origin="2024-01-01"
+            ),
+            "v": np.round(rng.uniform(0, 10, n), 2),
+        }
+    )
+    out = (
+        rolling_window_per_key(
+            rd.from_pandas(df), key_col="key", ts_col="ts", value_col="v",
+            window_rows=4, tiebreak_col="id", num_buckets=8,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    ref = df.sort_values(["key", "ts", "id"], kind="stable")
+    r = ref.groupby("key", sort=False)["v"].rolling(4, min_periods=1)
+    ref = ref.assign(
+        roll_n=r.count().to_numpy().astype("int64"),
+        roll_sum=r.sum().to_numpy(),
+    ).sort_values("id").reset_index(drop=True)
+    assert out.roll_n.tolist() == ref.roll_n.tolist()
+    np.testing.assert_allclose(out.roll_sum, ref.roll_sum, atol=1e-9)
+
+
+def test_grouped_quantiles_rank_selection():
+    from mtb_validation_service_ray.stages.stats import grouped_quantiles
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 7 + ["b"] * 4,
+            "v": [5.0, 1.0, 3.0, 2.0, 4.0, 7.0, 6.0, 10.0, 40.0, 20.0, 30.0],
+        }
+    )
+    out = (
+        grouped_quantiles(
+            rd.from_pandas(df), key_col="g", value_col="v",
+            qs=(0.25, 0.5, 0.75),
+        )
+        .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+    )
+    # g=a sorted 1..7: ranks ceil(q*7) = 2,4,6 -> 2,4,6
+    # g=b sorted 10,20,30,40: ranks 1,2,3 -> 10,20,30
+    assert out.value.tolist() == [2.0, 4.0, 6.0, 10.0, 20.0, 30.0]
+
+
+def test_pivot_counts_wide_schema_and_values():
+    from mtb_validation_service_ray.stages.stats import pivot_counts
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    cats = ["x", "y", "z"]
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 300, n).astype(np.int64),
+            "cat": rng.choice(cats + ["other"], n),  # unknown cat dropped
+        }
+    )
+    out = (
+        pivot_counts(
+            rd.from_pandas(df), key_col="key", pivot_col="cat",
+            categories=cats,
+        )
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    ref = (
+        df[df.cat.isin(cats)]
+        .pivot_table(index="key", columns="cat", aggfunc="size", fill_value=0)
+        .reindex(columns=cats, fill_value=0)
+    )
+    # keys with ONLY "other" rows don't appear — align on out's keys
+    assert set(out.columns) == {"key", "n_x", "n_y", "n_z"}
+    ref = ref.loc[out.key]
+    for c in cats:
+        assert out[f"n_{c}"].tolist() == ref[c].tolist()
+
+
+def test_top_terms_counts():
+    from mtb_validation_service_ray.stages.vocab import top_terms
+
+    docs = pa.table(
+        {
+            "text": pa.array(
+                ["the cat sat", "the CAT  ran", None, "", "dog the"],
+                pa.string(),
+            )
+        }
+    )
+    out = top_terms(rd.from_arrow(docs), text_col="text", k=3)
+    d = dict(zip(out.column("term").to_pylist(), out.column("n").to_pylist()))
+    assert d == {"the": 3, "cat": 2, "dog": 1} or list(d)[0] == "the"
+    assert out.column("term").to_pylist()[0] == "the"
+    assert out.column("n").to_pylist()[0] == 3

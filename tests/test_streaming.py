@@ -264,14 +264,21 @@ def test_distributed_throughput_scales_with_shards():
 
     # 1 shard = fully serialized folds; 4 shards must beat it even in
     # the 4-CPU test session.  Interleave runs to decorrelate with box
-    # noise; keep the best per config.
+    # noise; keep the best per config, and retry once before failing —
+    # wall-clock assertions flake on a shared box (ADVICE r3).
     t1a, n1 = run(1)
     t4a, n4 = run(4)
     t1b, _ = run(1)
     t4b, _ = run(4)
     assert n1 == n4  # same sessions either way
-    speedup = min(t1a, t1b) / min(t4a, t4b)
-    assert speedup > 1.3, (t1a, t1b, t4a, t4b)
+    t1s, t4s = [t1a, t1b], [t4a, t4b]
+    if min(t1s) / min(t4s) <= 1.3:  # one retry on a noisy draw
+        t1c, _ = run(1)
+        t4c, _ = run(4)
+        t1s.append(t1c)
+        t4s.append(t4c)
+    speedup = min(t1s) / min(t4s)
+    assert speedup > 1.3, (t1s, t4s)
 
 
 def test_null_keys_counted_never_misattributed():
