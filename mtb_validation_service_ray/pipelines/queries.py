@@ -1692,6 +1692,32 @@ def q_events_pivot_user_type(sf_dir: str):
     )
 
 
+def q_sample_stratified_events(sf_dir: str):
+    """Deterministic stratified sample: the 5 events per event_type
+    with the smallest hashed ids (rerun-stable; DuckDB recomputes the
+    exact selection via row_number over the same modular hash)."""
+    from ..stages.split import stratified_sample
+
+    out = stratified_sample(
+        _read(sf_dir, "events", ["event_id", "event_type"]),
+        key_col="event_type",
+        n=5,
+        id_col="event_id",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    return _as_table(out.map_batches(cast, batch_format="pyarrow")).sort_by(
+        "event_id"
+    )
+
+
 def q_tdigest_value_quantiles(sf_dir: str):
     """t-digest quantiles of events.value (rows-only; tolerance-checked
     against numpy in tests)."""
@@ -2493,6 +2519,7 @@ QUERIES = {
     "sample_orders_hash": q_sample_orders_hash,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "events_pivot_user_type": q_events_pivot_user_type,
+    "sample_stratified_events": q_sample_stratified_events,
     "image_validate": q_image_validate,
     "image_validate_meta": q_image_validate_meta,
     "image_verdict_meta": q_image_verdict_meta,
@@ -2659,6 +2686,16 @@ ORACLE_SQL["events_pivot_user_type"] = """
            CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
                AS n_view
     FROM events GROUP BY user_id ORDER BY user_id"""
+
+ORACLE_SQL["sample_stratified_events"] = """
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type FROM (
+        SELECT event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY (CAST(event_id % 4294967296 AS HUGEINT)
+                             * 2654435761) % 4294967296, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 5 ORDER BY event_id"""
 
 ORACLE_SQL["image_verdict_summary"] = f"""
     SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_records,

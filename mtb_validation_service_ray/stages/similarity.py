@@ -353,10 +353,17 @@ def cosine_near_dups(
         .groupby("_bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("cosine", alias_name="cosine"),
-        Max("n_members", alias_name="n_members"),
-        Max("sampled", alias_name="sampled"),
+    # bucketed reduce, NOT Ray's native aggregate: (id_a, id_b) is a
+    # high-cardinality two-string key — the sort aggregate's per-group
+    # cost is the measured 1M-skew-drill pathology (stages/groupagg.py)
+    from .groupagg import bucketed_group_agg
+
+    return bucketed_group_agg(
+        pairs,
+        ["id_a", "id_b"],
+        [("cosine", "cosine", "max"),
+         ("n_members", "n_members", "max"),
+         ("sampled", "sampled", "max")],
     )
 
 

@@ -139,3 +139,35 @@ def cap_per_key(
         .groupby("_bucket")
         .map_groups(cap_bucket, batch_format="pandas")
     )
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    n: int,
+    id_col: str,
+    salt: int = 0,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Deterministic stratified sample: exactly ``min(n, group_size)``
+    rows per key, chosen as the ``n`` smallest hashed ids — an unbiased
+    per-group sample that is a pure function of ``(id, salt)``, so
+    reruns and retries see the same rows and a SQL oracle can recompute
+    the selection exactly.  Composes ``cap_per_key`` ordered by the
+    split hash (ties broken by id)."""
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_h", pa.array(split_hash_u32(ids, salt).astype(np.int64))
+        )
+
+    capped = cap_per_key(
+        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True),
+        key_col=key_col,
+        n=n,
+        order_cols=["_h", id_col],
+        num_buckets=num_buckets,
+    )
+    return capped.drop_columns(["_h"])

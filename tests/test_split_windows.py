@@ -275,3 +275,35 @@ def test_top_terms_counts():
     assert d == {"the": 3, "cat": 2, "dog": 1} or list(d)[0] == "the"
     assert out.column("term").to_pylist()[0] == "the"
     assert out.column("n").to_pylist()[0] == 3
+
+
+def test_stratified_sample_exact_n_and_deterministic():
+    from mtb_validation_service_ray.stages.split import (
+        split_hash_u32,
+        stratified_sample,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "g": rng.choice(["a", "b", "c", "rare"], n, p=[0.4, 0.4, 0.199, 0.001]),
+        }
+    )
+    out = (
+        stratified_sample(
+            rd.from_pandas(df), key_col="g", n=10, id_col="id", num_buckets=8
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    sizes = out.groupby("g").size()
+    full = df.groupby("g").size()
+    for g in full.index:
+        assert sizes.get(g, 0) == min(10, full[g])
+    # selection = the n smallest hashes per group (ties by id)
+    h = split_hash_u32(df.id.to_numpy())
+    ref = df.assign(_h=h.astype(np.int64)).sort_values(["g", "_h", "id"])
+    ref = ref[ref.groupby("g", sort=False).cumcount() < 10]
+    assert sorted(out.id) == sorted(ref.id)
+    assert "_h" not in out.columns
