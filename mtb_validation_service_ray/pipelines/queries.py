@@ -1718,6 +1718,60 @@ def q_sample_stratified_events(sf_dir: str):
     )
 
 
+def q_text_doc_top_term(sf_dir: str):
+    """Most distinctive term per document (integer tf-idf argmax: max
+    tf, tie → min df, tie → term asc) — exercises the two-level
+    term-bucket tf/df pipeline, SQL-recomputable exactly because it
+    stays in integers (no log)."""
+    from ..stages.vocab import doc_top_term
+
+    out = doc_top_term(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "term": batch.column("term"),
+                "tf": batch.column("tf").cast(pa.int64()),
+                "df": batch.column("df").cast(pa.int64()),
+            }
+        )
+
+    return _as_table(out.map_batches(cast, batch_format="pyarrow")).sort_by(
+        "doc_id"
+    )
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct (type, user) pairs via
+    the bucketed reduce, then a tiny per-type count — the exact twin of
+    the HLL sketch lane, per group."""
+    from ..stages.groupagg import bucketed_group_agg
+
+    pairs = bucketed_group_agg(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        ["event_type", "user_id"],
+        [("n", "user_id", "count")],
+    )
+    agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_users": batch.column("n_users").cast(pa.int64()),
+            }
+        )
+
+    return _as_table(agg.map_batches(cast, batch_format="pyarrow")).sort_by(
+        "event_type"
+    )
+
+
 def q_tdigest_value_quantiles(sf_dir: str):
     """t-digest quantiles of events.value (rows-only; tolerance-checked
     against numpy in tests)."""
@@ -2520,6 +2574,8 @@ QUERIES = {
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "events_pivot_user_type": q_events_pivot_user_type,
     "sample_stratified_events": q_sample_stratified_events,
+    "text_doc_top_term": q_text_doc_top_term,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "image_validate": q_image_validate,
     "image_validate_meta": q_image_validate_meta,
     "image_verdict_meta": q_image_verdict_meta,
@@ -2696,6 +2752,31 @@ ORACLE_SQL["sample_stratified_events"] = """
                              * 2654435761) % 4294967296, event_id) AS rn
         FROM events
     ) WHERE rn <= 5 ORDER BY event_id"""
+
+ORACLE_SQL["text_doc_top_term"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+        FROM tf JOIN df USING (term)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+
+ORACLE_SQL["distinct_users_per_type"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type"""
 
 ORACLE_SQL["image_verdict_summary"] = f"""
     SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_records,

@@ -105,3 +105,107 @@ def top_terms(
             "n": pa.array(n[order], pa.int64()),
         }
     )
+
+
+def term_doc_stats(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-(document, term) stats: ``(doc_id, term, tf, df)`` with
+    ``tf`` = occurrences of term in doc and ``df`` = number of distinct
+    docs containing the term — the exact integer core of tf-idf,
+    kept log-free so a SQL oracle matches bit-for-bit.
+
+    Scale shape: tokenize Arrow-native and pre-collapse each batch to
+    (doc, term) partial counts, then ONE term-hash bucket shuffle;
+    because every row of a term lands in one bucket, a single
+    vectorized pandas body per bucket finishes tf (groupby sum) AND df
+    (per-term transform) with no second shuffle or driver-side
+    vocabulary.  Skew bound: a stopword-scale term concentrates its
+    (doc, term) partials in one bucket — rows per bucket ≤ Σ docs over
+    its terms; raise ``num_buckets`` (and rely on the per-batch
+    collapse) before sharding hot terms."""
+    from ..functions.sketches import hash64
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(
+                pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+            )
+        )
+        flat = pc.list_flatten(toks)
+        ids = batch.column(id_col).take(pc.list_parent_indices(toks))
+        t = pa.table({id_col: ids, "term": flat})
+        t = t.filter(pc.not_equal(t.column("term"), ""))
+        # per-batch partial collapse before the shuffle
+        g = (
+            t.to_pandas()
+            .groupby([id_col, "term"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        h = hash64(out.column("term").to_numpy(zero_copy_only=False))
+        return out.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype("int32"))
+        )
+
+    def finish_bucket(group):
+        import pandas as pd
+
+        g = (
+            group.drop(columns=["_bucket"])
+            .groupby([id_col, "term"], sort=False)
+            .agg(tf=("tf", "sum"))
+            .reset_index()
+        )
+        g["tf"] = g["tf"].astype("int64")
+        g["df"] = (
+            g.groupby("term", sort=False)["term"].transform("size").astype("int64")
+        )
+        return g
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(finish_bucket, batch_format="pandas")
+    )
+
+
+def doc_top_term(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """The most DISTINCTIVE term per document: max tf, ties broken by
+    min df (rarer corpus-wide wins), then term ascending — an exact,
+    integer-only stand-in for tf-idf argmax (no log ⇒ no FP rounding
+    ties against the SQL oracle).  One more doc-keyed shuffle on top of
+    ``term_doc_stats`` (``cap_per_key`` n=1)."""
+    from .split import cap_per_key
+
+    stats = term_doc_stats(ds, id_col=id_col, text_col=text_col)
+
+    def add_neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_neg_tf",
+            pc.negate(batch.column("tf")),
+        )
+
+    top = cap_per_key(
+        stats.map_batches(add_neg, batch_format="pyarrow", zero_copy_batch=True),
+        key_col=id_col,
+        n=1,
+        order_cols=["_neg_tf", "df", "term"],
+    )
+    return top.drop_columns(["_neg_tf"])

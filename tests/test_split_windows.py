@@ -307,3 +307,45 @@ def test_stratified_sample_exact_n_and_deterministic():
     ref = ref[ref.groupby("g", sort=False).cumcount() < 10]
     assert sorted(out.id) == sorted(ref.id)
     assert "_h" not in out.columns
+
+
+def test_term_doc_stats_and_top_term():
+    from mtb_validation_service_ray.stages.vocab import (
+        doc_top_term,
+        term_doc_stats,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "apple banana apple",
+                    "banana cherry",
+                    "apple  Apple APPLE zebra",
+                    None,
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    stats = (
+        term_doc_stats(rd.from_arrow(docs), num_buckets=4)
+        .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    got = {
+        (r.doc_id, r.term): (r.tf, r.df) for r in stats.itertuples()
+    }
+    assert got[(1, "apple")] == (2, 2)   # in docs 1 and 3
+    assert got[(1, "banana")] == (1, 2)  # in docs 1 and 2
+    assert got[(3, "apple")] == (3, 2)   # case-folded
+    assert got[(3, "zebra")] == (1, 1)
+    assert (4 not in stats.doc_id.values)  # null text → no terms
+    top = (
+        doc_top_term(rd.from_arrow(docs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # doc1: apple tf=2; doc2: tf tie (banana df=2, cherry df=1) → cherry
+    # (rarer wins); doc3: apple tf=3
+    assert top.doc_id.tolist() == [1, 2, 3]
+    assert top.term.tolist() == ["apple", "cherry", "apple"]
