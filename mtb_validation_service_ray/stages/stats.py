@@ -382,14 +382,13 @@ def pivot_counts(
     vectorized column select on the already-tiny merged stream."""
     from ray.data.aggregate import Sum as _Sum
 
-    cat_to_idx = {c: i for i, c in enumerate(categories)}
+    cat_index = pd.Index(categories)
 
     def partials(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         cats = batch.column(pivot_col).to_numpy(zero_copy_only=False)
-        idx = np.array(
-            [cat_to_idx.get(c, -1) for c in cats], dtype=np.int64
-        )
+        # vectorized category lookup (unknown categories → -1, dropped)
+        idx = cat_index.get_indexer(cats)
         keep = idx >= 0
         keys, idx = keys[keep], idx[keep]
         order = np.lexsort((idx, keys))
