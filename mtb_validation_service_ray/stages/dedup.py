@@ -458,6 +458,11 @@ def _dedupe_pair_stream(
             t = pa.concat_tables(tabs)
         else:
             s = pairs.schema()
+            if s is None:
+                # a zero-BLOCK materialized stream has no schema at all
+                # (empty corpus edge) — pass the empty dataset through
+                # unchanged rather than crash on None.empty_table()
+                return pairs
             t = getattr(s, "base_schema", s).empty_table()
         g = t.group_by(["doc_a", "doc_b"]).aggregate(
             [(src, kind) for _, src, kind in specs]

@@ -22,10 +22,17 @@ over B buckets, so only a single pathological key exceeding worker
 memory breaks this — the same assumption ``session_windows`` makes.
 
 Tie semantics: right rows sharing (key, ts) are resolved by
-``tiebreak`` — rows are time-sorted with the tiebreak as secondary key
-and ``merge_asof`` keeps the LAST, i.e. the max-tiebreak row, matching
-``arg_max(payload, tiebreak)`` in SQL.  Null left keys/timestamps can
-never match and are emitted with null payload.
+``tiebreak`` to the MAX-tiebreak row — matching ``arg_max(payload,
+tiebreak)`` in SQL.  ``merge_asof`` keeps the LAST qualifying row
+going backward and the FIRST going forward, so the secondary sort is
+ascending for ``direction="backward"`` and descending for
+``"forward"``.  Null left keys/timestamps can never match and are
+emitted with null payload.
+
+Int-precision bound: the mixed-side bucket frame promotes null-padded
+int64 columns to float64, which is exact only up to ±2^53; columns
+carrying larger magnitudes (e.g. raw 64-bit hashes) raise a loud
+ValueError instead of silently rounding ids.
 """
 
 from __future__ import annotations
@@ -77,9 +84,13 @@ def asof_join(
         if side == 0:
             cols["_key"] = batch.column(lkey)
             cols["_ts"] = batch.column(lts)
+            for c in left_cols:
+                _assert_f64_safe(batch.column(c), c)
         else:
             cols["_key"] = batch.column(rkey).cast(key_type)
             cols["_ts"] = batch.column(rts).cast(ts_type)
+            for c in right_payload:
+                _assert_f64_safe(batch.column(c), c)
         cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
         for c in left_cols:
             cols[f"_l_{c}"] = (
@@ -90,20 +101,7 @@ def asof_join(
             cols[f"_r_{c}"] = (
                 batch.column(c) if side == 1 else pa.nulls(n, payload_types[c])
             )
-        # fill key nulls with a typed zero BEFORE to_numpy: a nullable
-        # int64 column otherwise converts to float64 and hashes into a
-        # different bucket than the other side's int64 rows (null rows
-        # themselves never match, so their bucket is arbitrary)
-        if pa.types.is_string(key_type) or pa.types.is_binary(key_type):
-            zero = pa.scalar("", key_type)
-        else:
-            zero = pa.scalar(0, key_type)
-        k_np = pac.fill_null(cols["_key"], zero).to_numpy(zero_copy_only=False)
-        h = hash64(k_np)
-        cols["_bucket"] = pa.array(
-            (h % np.uint64(num_buckets)).astype(np.int32)
-        )
-        return pa.table(cols)
+        return _with_bucket(cols, key_type, num_buckets)
 
     tagged = left.map_batches(
         lambda b: common(b, 0), batch_format="pyarrow", zero_copy_batch=True
@@ -124,8 +122,17 @@ def asof_join(
         l_ok = l[l["_key"].notna() & l["_ts"].notna()]
         l_nul = l[~(l["_key"].notna() & l["_ts"].notna())]
         r = r[r["_key"].notna() & r["_ts"].notna()]
-        r_sort = ["_ts"] + ([f"_r_{tiebreak}"] if tiebreak else [])
-        r = r.sort_values(r_sort, kind="stable")
+        # tiebreak order depends on direction: merge_asof keeps the
+        # LAST qualifying row going backward but the FIRST going
+        # forward, so max-tiebreak needs ascending order backward and
+        # DESCENDING forward (review finding r4)
+        if tiebreak:
+            r = r.sort_values(
+                ["_ts", f"_r_{tiebreak}"], kind="stable",
+                ascending=[True, direction == "backward"],
+            )
+        else:
+            r = r.sort_values("_ts", kind="stable")
         rcols = ["_key", "_ts"] + [f"_r_{c}" for c in right_payload]
         l_ok = l_ok.sort_values("_ts", kind="stable")
         if len(r):
@@ -237,6 +244,8 @@ def interval_join(
         key_type = p_schema.field(pkey).type
 
         def tag_points(batch: pa.Table) -> pa.Table:
+            for c in point_cols:
+                _assert_f64_safe(batch.column(c), c)
             cols = {f"_p_{c}": batch.column(c) for c in point_cols}
             cols["_key"] = batch.column(pkey)
             cols["_ts"] = pa.array(_ts_np(batch.column(ts)))
@@ -249,6 +258,8 @@ def interval_join(
             return _with_bucket(cols, key_type, num_buckets)
 
         def tag_intervals(batch: pa.Table) -> pa.Table:
+            for c in payload:
+                _assert_f64_safe(batch.column(c), c)
             n = batch.num_rows
             cols = {
                 f"_p_{c}": pa.nulls(n, p_schema.field(c).type)
@@ -303,24 +314,62 @@ def interval_join(
         )
     else:
         if slab_us is None:
-            # one tiny pass over the interval side: max length bounds
-            # replication at <= 2 slabs per interval
+            # one tiny pass over the interval side: the max length
+            # bounds replication at <= 2 slabs per interval, and the
+            # overall span bounds the SLAB COUNT — without the span
+            # floor, all-zero-length intervals degrade to 1 µs slabs,
+            # i.e. one map_groups group per distinct point timestamp
+            # (review finding r4)
             import pyarrow.compute as _pc
 
+            def _stats(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    return pa.table(
+                        {
+                            "mx": pa.array([], pa.int64()),
+                            "lo": pa.array([], pa.int64()),
+                            "hi": pa.array([], pa.int64()),
+                        }
+                    )
+                s = b.column(start_col).cast(ts_type).cast(pa.int64())
+                e = b.column(end_col).cast(ts_type).cast(pa.int64())
+                ln = _pc.max(_pc.subtract(e, s)).as_py()
+                return pa.table(
+                    {
+                        "mx": pa.array([int(ln or 0)], pa.int64()),
+                        "lo": pa.array(
+                            [int(_pc.min(s).as_py() or 0)], pa.int64()
+                        ),
+                        "hi": pa.array(
+                            [int(_pc.max(e).as_py() or 0)], pa.int64()
+                        ),
+                    }
+                )
+
             stats = intervals.select_columns([start_col, end_col]).map_batches(
-                lambda b: pa.table(
-                    {"mx": pa.array([
-                        int(_pc.max(_pc.subtract(
-                            b.column(end_col).cast(ts_type).cast(pa.int64()),
-                            b.column(start_col).cast(ts_type).cast(pa.int64()),
-                        )).as_py() or 0)
-                    ], pa.int64())}
-                ),
-                batch_format="pyarrow",
+                _stats, batch_format="pyarrow"
             ).to_pandas()
-            slab_us = max(1, int(stats["mx"].max()))
+            if not len(stats):
+                # no intervals at all → the inner join is empty
+                empty = pa.table(
+                    {
+                        **{c: pa.array([], p_schema.field(c).type)
+                           for c in point_cols},
+                        **{c: pa.array([], payload_types[c])
+                           for c in payload},
+                    }
+                )
+                return rd.from_arrow(empty)
+            span = int(stats["hi"].max()) - int(stats["lo"].min())
+            slab_us = max(
+                1,
+                int(stats["mx"].max()),
+                span // (64 * num_buckets),
+            )
 
         def slab_points(batch: pa.Table) -> pa.Table:
+            for c in point_cols:
+                _assert_f64_safe(batch.column(c), c)
             t = _ts_np(batch.column(ts))
             cols = {f"_p_{c}": batch.column(c) for c in point_cols}
             cols["_ts"] = pa.array(t)
@@ -333,6 +382,8 @@ def interval_join(
             return pa.table(cols)
 
         def slab_intervals(batch: pa.Table) -> pa.Table:
+            for c in payload:
+                _assert_f64_safe(batch.column(c), c)
             s = _ts_np(batch.column(start_col))
             e = _ts_np(batch.column(end_col))
             lo = s // slab_us
@@ -441,6 +492,30 @@ def _as_arrow(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
 
 def _unprefix(point_cols: list[str], payload: list[str]) -> dict[str, str]:
     return {f"_p_{c}": c for c in point_cols} | {f"_r_{c}": c for c in payload}
+
+
+_F64_SAFE = 1 << 53
+
+
+def _assert_f64_safe(col, name: str) -> None:
+    """Refuse int columns whose magnitude exceeds float64's exact-int
+    range: the mixed-side bucket frame null-pads them into float64, and
+    values beyond ±2^53 would round silently (review finding r4)."""
+    t = col.type
+    if not (pa.types.is_integer(t) and t.bit_width == 64):
+        return
+    if col.null_count == len(col):
+        return
+    mm = pac.min_max(col)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if (hi is not None and hi > _F64_SAFE) or (
+        lo is not None and lo < -_F64_SAFE
+    ):
+        raise ValueError(
+            f"asof/interval join column {name!r} holds int64 values "
+            f"beyond ±2^53; they would round through the float64 bucket "
+            f"frame. Cast the column to string (or rescale ids) first."
+        )
 
 
 def _with_bucket(

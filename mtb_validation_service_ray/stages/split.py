@@ -30,6 +30,21 @@ def split_hash_u32(keys: np.ndarray, salt: int = 0) -> np.ndarray:
     boundary).  Reduced mod 2^32 before the multiply so the product
     fits uint64 for any int64 key — the SQL equivalent is
     ``(((k + salt) % 4294967296) * 2654435761) % 4294967296``."""
+    keys = np.asarray(keys)
+    if np.issubdtype(keys.dtype, np.floating):
+        # a nullable int column arrives as float64 with NaN, and
+        # NaN.astype(uint64) is PLATFORM-DEPENDENT garbage (review
+        # finding r4).  Pin null keys to the TOP of the hash space:
+        # they land in the LAST split band (the SQL CASE's ELSE arm,
+        # since NULL comparisons are never true) and are not sampled by
+        # `h < bound` for any fraction < 1 — matching the oracle's NULL
+        # semantics on every platform.
+        mask = np.isnan(keys)
+        filled = np.where(mask, 0.0, keys).astype(np.int64)
+        k = (filled.astype(np.uint64) + np.uint64(salt)) % np.uint64(_MOD)
+        h = (k * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        h[mask] = np.uint64(_MOD - 1)
+        return h
     k = (keys.astype(np.uint64) + np.uint64(salt)) % np.uint64(_MOD)
     return (k * np.uint64(_KNUTH)) % np.uint64(_MOD)
 
@@ -131,7 +146,10 @@ def cap_per_key(
 
     def cap_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key_col, *oc], kind="stable")
-        rank = g.groupby(key_col, sort=False).cumcount()
+        # dropna=False: the default cumcount yields NaN for null-key
+        # rows, and NaN < n is False — silently DELETING every null-key
+        # row instead of capping them as one group (review finding r4)
+        rank = g.groupby(key_col, sort=False, dropna=False).cumcount()
         return g[rank < n].drop(columns=["_bucket"])
 
     return (

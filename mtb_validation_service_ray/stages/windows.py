@@ -207,7 +207,17 @@ def sliding_window_agg(
             kcodes, kuniq = (
                 pd.factorize(pd.Series(keys.to_pandas()), sort=False)
             )
-            kk = np.repeat(kcodes.astype(np.int64), k)
+            # factorize codes nulls as -1, which would WRAP to the last
+            # unique key on the gather below — give nulls their own
+            # group (index len(kuniq), value None), matching Ray's
+            # native groupby null semantics
+            kcodes = kcodes.astype(np.int64)
+            null_code = len(kuniq)
+            kcodes[kcodes < 0] = null_code
+            kuniq_vals = np.append(
+                np.asarray(kuniq, dtype=object), None
+            )
+            kk = np.repeat(kcodes, k)
             order = np.lexsort((kk, win))
             win_s, kk_s = win[order], kk[order]
             change = np.r_[
@@ -234,7 +244,7 @@ def sliding_window_agg(
         }
         if key_col is not None:
             out[key_col] = pa.array(
-                pd.Series(kuniq).to_numpy()[kk_s[starts]]
+                kuniq_vals[kk_s[starts]]
             ).cast(batch.schema.field(key_col).type)
         return pa.table(out)
 
@@ -299,7 +309,10 @@ def rolling_window_per_key(
 
     def roll_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(order, kind="stable").reset_index(drop=True)
-        r = g.groupby(key_col, sort=False)[value_col].rolling(
+        # dropna=False: a null key must form its own rolling partition —
+        # the default silently DROPS those rows and the shorter result
+        # then fails to align with g (review finding r4)
+        r = g.groupby(key_col, sort=False, dropna=False)[value_col].rolling(
             window_rows, min_periods=1
         )
         g["roll_n"] = r.count().to_numpy().astype("int64")

@@ -349,3 +349,161 @@ def test_term_doc_stats_and_top_term():
     # (rarer wins); doc3: apple tf=3
     assert top.doc_id.tolist() == [1, 2, 3]
     assert top.term.tolist() == ["apple", "cherry", "apple"]
+
+
+def test_null_keys_survive_capping_splitting_windows():
+    """Review r4: null keys must form their own group everywhere, never
+    be dropped, misattributed, or crash."""
+    from mtb_validation_service_ray.stages.split import hash_sample
+    from mtb_validation_service_ray.stages.windows import (
+        rolling_window_per_key,
+    )
+
+    # cap_per_key: null keys capped as ONE group, not deleted
+    df = pd.DataFrame(
+        {
+            "id": np.arange(8, dtype=np.int64),
+            "key": pd.array([1, 1, 1, None, None, None, None, 2],
+                            dtype="Int64"),
+        }
+    )
+    out = cap_per_key(
+        rd.from_pandas(df), key_col="key", n=2, order_cols=["id"],
+        num_buckets=4,
+    ).to_pandas()
+    null_rows = out[out.key.isna()]
+    assert len(null_rows) == 2 and sorted(null_rows.id) == [3, 4]
+    assert len(out) == 5  # 2 + 2 + 1
+
+    # hash_split: null keys deterministically land in the LAST band
+    hs = hash_split(rd.from_pandas(df), key_col="key").to_pandas()
+    assert (hs[hs.key.isna()].split == "test").all()
+    # hash_sample: null keys never sampled below fraction 1
+    smp = hash_sample(rd.from_pandas(df), key_col="key", fraction=0.5)
+    assert smp.to_pandas().key.notna().all()
+
+    # sliding windows: null keys get their own window rows, and other
+    # keys' aggregates are unchanged by their presence
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10"] * 3 + ["2024-01-01 01:10"]
+            ),
+            "g": pd.array(["A", "B", None, None], dtype="object"),
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    sw = (
+        sliding_window_agg(
+            rd.from_pandas(ev), ts_col="ts", key_col="g",
+            size_us=2 * 3600 * 1_000_000, slide_us=3600 * 1_000_000,
+            value_col="value",
+        )
+        .to_pandas()
+    )
+    a = sw[sw.g == "A"]
+    assert a.sum_value.sum() == 2.0  # 1.0 in each of its 2 windows
+    nul = sw[sw.g.isna()]
+    assert len(nul) == 3  # 00:00 window (4), 01:00 (4+8), 23:00(4)... plus 01:00-only 8
+    # the 01:00 window holds both null-key events
+    assert 12.0 in nul.sum_value.tolist()
+
+    # rolling windows: null keys roll as one partition, no crash
+    rw = (
+        rolling_window_per_key(
+            rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "id": np.arange(4, dtype=np.int64),
+                        "k": pd.array([1, None, None, 1], dtype="Int64"),
+                        "ts": pd.to_datetime(
+                            ["2024-01-01", "2024-01-02", "2024-01-03",
+                             "2024-01-04"]
+                        ),
+                        "v": [1.0, 2.0, 3.0, 4.0],
+                    }
+                )
+            ),
+            key_col="k", ts_col="ts", value_col="v", window_rows=2,
+            tiebreak_col="id", num_buckets=4,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert rw.roll_sum.tolist() == [1.0, 2.0, 5.0, 5.0]
+
+
+def test_asof_forward_tiebreak_and_f64_guard():
+    import pytest
+
+    from mtb_validation_service_ray.stages.joins import asof_join
+
+    left = pa.table(
+        {
+            "eid": pa.array([1], pa.int64()),
+            "k": pa.array([10], pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2024-01-02"])),
+        }
+    )
+    right = pa.table(
+        {
+            "k2": pa.array([10, 10], pa.int64()),
+            "ts2": pa.array(pd.to_datetime(["2024-01-05", "2024-01-05"])),
+            "ver": pa.array([1, 2], pa.int64()),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        key=("k", "k2"), ts=("ts", "ts2"), right_payload=["ver"],
+        direction="forward", tiebreak="ver", num_buckets=2,
+    ).to_pandas()
+    assert out.ver.tolist() == [2]  # max tiebreak, not first-sorted
+
+    big = pa.table(
+        {
+            "eid": pa.array([(1 << 53) + 3], pa.int64()),
+            "k": pa.array([10], pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2024-01-02"])),
+        }
+    )
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join(
+            rd.from_arrow(big), rd.from_arrow(right),
+            key=("k", "k2"), ts=("ts", "ts2"), right_payload=["ver"],
+            num_buckets=2,
+        ).to_pandas()
+
+
+def test_interval_join_zero_length_and_empty_intervals():
+    from mtb_validation_service_ray.stages.joins import interval_join
+
+    pts = pa.table(
+        {
+            "pid": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(pd.to_datetime(["2024-01-01", "2024-02-01"])),
+        }
+    )
+    # all zero-length intervals: must not degrade to per-point slabs,
+    # and closed="both" matches the instant exactly
+    iv = pa.table(
+        {
+            "s": pa.array(pd.to_datetime(["2024-01-01", "2024-03-01"])),
+            "e": pa.array(pd.to_datetime(["2024-01-01", "2024-03-01"])),
+            "tag": pa.array(["a", "b"], pa.string()),
+        }
+    )
+    out = interval_join(
+        rd.from_arrow(pts), rd.from_arrow(iv),
+        ts="ts", bounds=("s", "e"), payload=["tag"], closed="both",
+        num_buckets=2,
+    ).to_pandas()
+    assert out.pid.tolist() == [1] and out.tag.tolist() == ["a"]
+
+    # empty interval side: typed empty result, not a crash (Ray drops
+    # 0-row blocks in to_pandas, so assert the schema on the Dataset)
+    empty_iv = iv.slice(0, 0)
+    out2 = interval_join(
+        rd.from_arrow(pts), rd.from_arrow(empty_iv),
+        ts="ts", bounds=("s", "e"), payload=["tag"], num_buckets=2,
+    )
+    assert out2.count() == 0
+    assert set(out2.schema().names) == {"pid", "ts", "tag"}
