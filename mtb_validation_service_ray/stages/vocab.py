@@ -15,7 +15,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Sum
 
 
 def term_counts(ds: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
@@ -25,7 +24,11 @@ def term_counts(ds: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
     term counts (``value_counts`` on the flattened token array), so the
     shuffle moves at most ``distinct_terms_per_batch`` rows per batch —
     for natural language that is Zipf-bounded far below the token
-    count.  One hash ``groupby(term).sum`` merges the partials."""
+    count.  The partials merge through ``bucketed_group_agg``, not
+    Ray's native aggregate: ``term`` is a high-cardinality STRING key,
+    the exact shape whose per-output-group sort-aggregate cost the
+    engine measured at the 1M skew drill (stages/groupagg.py)."""
+    from .groupagg import bucketed_group_agg
 
     def local_counts(batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
@@ -50,10 +53,12 @@ def term_counts(ds: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
         # empty-string term anyway so the contract is explicit
         return t.filter(pc.not_equal(t.column("term"), ""))
 
-    return (
-        ds.map_batches(local_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("term")
-        .aggregate(Sum("_n", alias_name="n"))
+    partials = ds.map_batches(
+        local_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # partials are already collapsed per batch; skip the second pass
+    return bucketed_group_agg(
+        partials, ["term"], [("n", "_n", "sum")], partial=False
     )
 
 
