@@ -1428,6 +1428,48 @@ def q_range_join_events_in_order_window(sf_dir: str):
     ).sort_by([("event_id", "ascending")])
 
 
+def q_orders_semi_bloom(sf_dir: str):
+    """Bloom-prefiltered distributed semi-join: orders placed by
+    'BUILDING'-segment customers.  The key side compresses into a
+    broadcast Bloom bitmap (distributed build, fan-in OR merge); only
+    Bloom "maybe" rows reach the exact int-bucketed verify, so the
+    result is exact — DuckDB recomputes it with a plain EXISTS."""
+    from ..stages.bloomjoin import bloom_semi_join
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    bkeys = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = bloom_semi_join(orders, bkeys, on=("o_custkey", "c_custkey"))
+    return _as_table(out).sort_by([("o_orderkey", "ascending")])
+
+
+def q_events_anti_bloom(sf_dir: str):
+    """Bloom-prefiltered distributed ANTI join: events from users with
+    no order above 300k.  A Bloom "no" is a definite keep (no verify
+    needed); only "maybe" rows run the exact NOT-EXISTS check, so the
+    result is exact.  Null user_ids would be kept (NOT EXISTS, not
+    NOT IN) — the fixture has none, asserted by the row count."""
+    from ..stages.bloomjoin import bloom_semi_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(
+            pc.greater(b.column("o_totalprice"), 300000.0)
+        ).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = bloom_semi_join(
+        events, big, on=("user_id", "o_custkey"), mode="anti"
+    )
+    return _as_table(out).sort_by([("event_id", "ascending")])
+
+
 def q_events_sliding_window(sf_dir: str):
     """Sliding (hopping) 6-hour windows every hour over events, keyed
     by event_type — partial-aggregated inside the batch (lexsort +
@@ -2565,6 +2607,8 @@ QUERIES = {
     "tdigest_value_quantiles": q_tdigest_value_quantiles,
     "asof_latest_order_per_event": q_asof_latest_order_per_event,
     "range_join_events_in_order_window": q_range_join_events_in_order_window,
+    "orders_semi_bloom": q_orders_semi_bloom,
+    "events_anti_bloom": q_events_anti_bloom,
     "events_sliding_window": q_events_sliding_window,
     "split_lineitem_hash": q_split_lineitem_hash,
     "cap_events_per_user": q_cap_events_per_user,
@@ -2617,6 +2661,22 @@ ORACLE_SQL["asof_latest_order_per_event"] = """
     SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
     FROM events e ASOF LEFT JOIN r
       ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    ORDER BY event_id"""
+
+ORACLE_SQL["orders_semi_bloom"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+    ORDER BY o_orderkey"""
+
+ORACLE_SQL["events_anti_bloom"] = """
+    SELECT event_id, user_id, value
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = e.user_id
+                        AND o.o_totalprice > 300000)
     ORDER BY event_id"""
 
 ORACLE_SQL["range_join_events_in_order_window"] = """
