@@ -28,6 +28,39 @@ def hash64(values) -> np.ndarray:
     return pd.util.hash_array(np.ascontiguousarray(arr))
 
 
+def hll_idx_rank(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized HLL (register index, rank) per hash: the top ``p``
+    bits pick the register; rank = 1 + leading zeros of the rest."""
+    h = hashes.astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))
+    lz = np.zeros(len(h), dtype=np.uint8)
+    probe = np.uint64(1) << np.uint64(63)
+    mask = np.ones(len(h), dtype=bool)
+    for r in range(64 - p + 1):
+        hit = mask & ((rest & probe) != 0)
+        lz[hit] = r
+        mask &= ~hit
+        probe >>= np.uint64(1)
+    return idx, (lz + 1).astype(np.uint8)
+
+
+def hll_estimate_2d(registers: np.ndarray) -> np.ndarray:
+    """Vectorized HLL estimate per ROW of a (groups, m) register
+    matrix — same alpha/linear-counting corrections as
+    ``HyperLogLog.estimate``."""
+    m = float(registers.shape[1])
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(
+        2.0 ** (-registers.astype(np.float64)), axis=1
+    )
+    zeros = np.count_nonzero(registers == 0, axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.maximum(zeros, 1))
+    return np.where(small, lin, est)
+
+
 class HyperLogLog:
     """Dense HLL, p=12 (4096 registers, ~1.6% standard error)."""
 
@@ -41,19 +74,7 @@ class HyperLogLog:
         )
 
     def add_hashes(self, hashes: np.ndarray) -> None:
-        h = hashes.astype(np.uint64, copy=False)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # rank = 1 + count of leading zeros in the remaining 64-p bits
-        lz = np.zeros(len(h), dtype=np.uint8)
-        probe = np.uint64(1) << np.uint64(63)
-        mask = np.ones(len(h), dtype=bool)
-        for r in range(64 - self.p + 1):
-            hit = mask & ((rest & probe) != 0)
-            lz[hit] = r
-            mask &= ~hit
-            probe >>= np.uint64(1)
-        rank = (lz + 1).astype(np.uint8)
+        idx, rank = hll_idx_rank(hashes, self.p)
         np.maximum.at(self.registers, idx, rank)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":

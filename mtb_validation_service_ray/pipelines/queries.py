@@ -1788,6 +1788,21 @@ def q_text_doc_top_term(sf_dir: str):
     )
 
 
+def q_hll_distinct_users_per_type(sf_dir: str):
+    """GROUPED HyperLogLog distinct (rows-only — sketch lane; its
+    exact twin ``distinct_users_per_type`` is hash-checked, and the
+    ±2% tolerance is asserted in tests/test_stats.py): per-group
+    register blobs built and merged vectorized, so the shuffle moves
+    ``#batches × #keys`` fixed-size sketch rows, never user_ids."""
+    from ..stages.stats import grouped_hll_distinct
+
+    out = grouped_hll_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id",
+    )
+    return _as_table(out).sort_by([("event_type", "ascending")])
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): distinct (type, user) pairs via
     the bucketed reduce, then a tiny per-type count — the exact twin of
@@ -2620,6 +2635,7 @@ QUERIES = {
     "sample_stratified_events": q_sample_stratified_events,
     "text_doc_top_term": q_text_doc_top_term,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "hll_distinct_users_per_type": q_hll_distinct_users_per_type,
     "image_validate": q_image_validate,
     "image_validate_meta": q_image_validate_meta,
     "image_verdict_meta": q_image_verdict_meta,

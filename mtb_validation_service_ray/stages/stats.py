@@ -443,3 +443,107 @@ def pivot_counts(
         .groupby("_bucket")
         .map_groups(widen_bucket, batch_format="pandas")
     )
+
+
+def grouped_hll_distinct(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    *,
+    p: int = 12,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Approximate COUNT(DISTINCT value) per key via per-group HLL —
+    the mergeable-sketch grouped aggregate a 100 TB pipeline uses
+    instead of shuffling raw values: each batch folds into one
+    ``m``-byte register blob per (batch, key), so the exchange moves
+    ``#batches × #keys_per_batch`` fixed-size rows, never the values.
+
+    Registers build vectorized (one ``np.maximum.at`` over
+    ``(key_code, register)`` pairs per batch) and merge vectorized
+    (lexsorted ``np.maximum.reduceat`` per bucket).  Null values are
+    ignored (SQL ``count(DISTINCT x)`` semantics); null keys form
+    their own group.  Output: ``{key_col, n_distinct_est}`` — ±~1.6%
+    at p=12, tolerance-asserted against the exact twin in tests."""
+    import pyarrow.compute as pc
+
+    m = 1 << p
+    key_type = _schema_of(ds).field(key_col).type
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        vals = batch.column(value_col)
+        ok = pc.is_valid(vals)
+        keys, vals = keys.filter(ok), vals.filter(ok)
+        if len(vals) == 0:
+            return pa.table({
+                key_col: pa.array([], key_type),
+                "_regs": pa.array([], pa.large_binary()),
+            })
+        codes, uniques = pd.factorize(
+            keys.to_pandas(), use_na_sentinel=False
+        )
+        from ..functions.sketches import hll_idx_rank
+
+        idx, rank = hll_idx_rank(
+            hash64(vals.to_numpy(zero_copy_only=False)), p
+        )
+        regs = np.zeros((len(uniques), m), dtype=np.uint8)
+        np.maximum.at(regs, (codes, idx), rank)
+        return pa.table({
+            key_col: pa.Array.from_pandas(pd.Series(uniques), type=key_type),
+            "_regs": pa.array([r.tobytes() for r in regs], pa.large_binary()),
+        })
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col)
+        filled = pc.fill_null(
+            k, pa.scalar("", key_type)
+            if pa.types.is_string(key_type) else pa.scalar(0, key_type)
+        )
+        b = (
+            hash64(filled.to_numpy(zero_copy_only=False))
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        stack = np.frombuffer(
+            b"".join(group["_regs"].to_numpy()), dtype=np.uint8
+        ).reshape(-1, m)
+        codes, uniques = pd.factorize(group[key_col], use_na_sentinel=False)
+        order = np.argsort(codes, kind="stable")
+        sorted_stack = stack[order]
+        starts = np.flatnonzero(
+            np.r_[True, np.diff(codes[order]) != 0]
+        )
+        merged = np.maximum.reduceat(sorted_stack, starts, axis=0)
+        from ..functions.sketches import hll_estimate_2d
+
+        est = np.rint(hll_estimate_2d(merged)).astype(np.int64)
+        # pin the key's Arrow type: a bucket whose keys are ALL null
+        # would otherwise degrade the pandas column to float64 NaN
+        return pa.table({
+            key_col: pa.Array.from_pandas(
+                pd.Series(uniques[codes[order][starts]]), type=key_type
+            ),
+            "n_distinct_est": pa.array(est, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
+def _schema_of(ds: rd.Dataset) -> pa.Schema:
+    s = ds.schema()
+    return getattr(s, "base_schema", s)

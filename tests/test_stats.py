@@ -120,3 +120,40 @@ def test_stats_pass_null_partition_id():
     pids = sorted(out.column("partition_id").to_pylist())
     assert pids == [-2, 0]  # -2 = null-pid bucket (-1 is the global row)
     assert sum(out.column("n_rows").to_pylist()) == 3
+
+
+def test_grouped_hll_distinct_tolerance_and_nulls():
+    """Per-group HLL estimate within ±5% of exact at cardinalities past
+    the linear-counting regime; null values ignored, null keys grouped."""
+    from mtb_validation_service_ray.stages.stats import grouped_hll_distinct
+
+    rng = np.random.default_rng(11)
+    n = 120_000
+    keys = rng.choice(["a", "b", "c"], n)
+    # per-key distinct targets spanning the small->raw estimator range
+    vals = np.where(
+        keys == "a", rng.integers(0, 200, n),
+        np.where(keys == "b", rng.integers(0, 20_000, n),
+                 rng.integers(0, 60_000, n)),
+    ).astype(object)
+    vals[::97] = None  # ignored nulls
+    key_col = keys.astype(object)
+    key_col[::101] = None  # null keys form their own group
+    t = pa.table({
+        "k": pa.array(list(key_col), pa.string()),
+        "v": pa.array(list(vals), pa.int64()),
+    })
+    out = {
+        r["k"]: r["n_distinct_est"]
+        for r in grouped_hll_distinct(
+            rd.from_arrow(t), "k", "v", num_buckets=4
+        ).take_all()
+    }
+    import pandas as pd
+
+    df = pd.DataFrame({"k": key_col, "v": vals})
+    exact = df[df.v.notna()].groupby("k", dropna=False).v.nunique()
+    assert set(out) == {"a", "b", "c", None}
+    for k, ex in exact.items():
+        k = None if pd.isna(k) else k
+        assert abs(out[k] - ex) / ex < 0.05, (k, out[k], ex)
