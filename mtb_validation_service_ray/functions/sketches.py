@@ -28,6 +28,63 @@ def hash64(values) -> np.ndarray:
     return pd.util.hash_array(np.ascontiguousarray(arr))
 
 
+_MIX64 = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden-ratio constant
+
+
+def hash64_pair(values) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hash streams for double hashing (h2
+    forced odd so probe sequences never degenerate).  Shared by the
+    Bloom filter and count-min probes."""
+    h1 = hash64(values).astype(np.uint64, copy=False)
+    h2 = hash64((h1 ^ (h1 >> np.uint64(31))) * _MIX64) | np.uint64(1)
+    return h1, h2
+
+
+class CountMinSketch:
+    """Mergeable count-min sketch: ``depth`` rows of ``width``
+    counters; point estimate = min over rows (one-sided: never
+    underestimates, overestimates by ≤ e/width · total_weight with
+    probability 1 − e^-depth)."""
+
+    __slots__ = ("width", "depth", "counts")
+
+    def __init__(
+        self, width: int = 16384, depth: int = 4,
+        counts: np.ndarray | None = None,
+    ):
+        self.width = width
+        self.depth = depth
+        self.counts = (
+            counts if counts is not None
+            else np.zeros((depth, width), dtype=np.int64)
+        )
+
+    def _idx(self, values) -> np.ndarray:
+        h1, h2 = hash64_pair(values)
+        return np.stack([
+            ((h1 + np.uint64(d) * h2) % np.uint64(self.width)).astype(np.int64)
+            for d in range(self.depth)
+        ])
+
+    def add(self, values, weights: np.ndarray) -> None:
+        idx = self._idx(values)
+        w = np.asarray(weights, dtype=np.int64)
+        for d in range(self.depth):
+            np.add.at(self.counts[d], idx[d], w)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        return CountMinSketch(
+            self.width, self.depth, self.counts + other.counts
+        )
+
+    def estimate(self, values) -> np.ndarray:
+        idx = self._idx(values)
+        return np.min(
+            np.stack([self.counts[d][idx[d]] for d in range(self.depth)]),
+            axis=0,
+        )
+
+
 def hll_idx_rank(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized HLL (register index, rank) per hash: the top ``p``
     bits pick the register; rank = 1 + leading zeros of the rest."""

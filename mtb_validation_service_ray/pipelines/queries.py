@@ -1605,6 +1605,19 @@ def q_text_top_terms(sf_dir: str):
     )
 
 
+def q_text_cms_top_terms(sf_dir: str):
+    """Count-min-sketch approximate top-k terms (rows-only — sketch
+    lane; the exact twin ``text_top_terms`` is hash-checked and the
+    one-sided CMS error bound is asserted in tests/test_split_windows):
+    per-batch local candidates + one fixed-size CMS blob, blobs merged
+    by fan-in sum, candidates scored against the broadcast sketch."""
+    from ..stages.vocab import cms_top_terms
+
+    return cms_top_terms(
+        _read(sf_dir, "documents", ["text"]), text_col="text", k=20
+    )
+
+
 def q_events_rolling_avg(sf_dir: str):
     """Per-key rolling window (ROWS 2 PRECEDING): count and avg of each
     user's last 3 events by time; avg via tie-free integer-cents floor
@@ -2628,6 +2641,7 @@ QUERIES = {
     "split_lineitem_hash": q_split_lineitem_hash,
     "cap_events_per_user": q_cap_events_per_user,
     "text_top_terms": q_text_top_terms,
+    "text_cms_top_terms": q_text_cms_top_terms,
     "events_rolling_avg": q_events_rolling_avg,
     "sample_orders_hash": q_sample_orders_hash,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,

@@ -51,9 +51,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..functions.sketches import hash64
-
-_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden-ratio constant
+from ..functions.sketches import hash64, hash64_pair
 
 
 def bloom_params(expected_keys: int, fp_rate: float) -> tuple[int, int]:
@@ -66,12 +64,7 @@ def bloom_params(expected_keys: int, fp_rate: float) -> tuple[int, int]:
     return m, k
 
 
-def _probe_hashes(keys_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit streams for double hashing (h2 forced odd
-    so the probe sequence never degenerates)."""
-    h1 = hash64(keys_np).astype(np.uint64, copy=False)
-    h2 = hash64((h1 ^ (h1 >> np.uint64(31))) * _MIX) | np.uint64(1)
-    return h1, h2
+_probe_hashes = hash64_pair
 
 
 def _set_bits(words: np.ndarray, keys_np: np.ndarray, m: int, k: int) -> None:

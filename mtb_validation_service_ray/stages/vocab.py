@@ -17,6 +17,29 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
+def _local_term_counts(batch: pa.Table, text_col: str) -> pa.Table:
+    """Per-batch term→count partial: Arrow-native tokenize (lower +
+    whitespace split) then ``value_counts`` on the flattened tokens."""
+    toks = pc.list_flatten(
+        pc.utf8_split_whitespace(pc.utf8_lower(batch.column(text_col)))
+    )
+    toks = pc.drop_null(toks)
+    if len(toks) == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "_n": pa.array([], pa.int64())}
+        )
+    vc = toks.combine_chunks().value_counts()
+    t = pa.table(
+        {
+            "term": vc.field("values"),
+            "_n": vc.field("counts").cast(pa.int64()),
+        }
+    )
+    # utf8_split_whitespace never emits empty tokens, but guard the
+    # empty-string term anyway so the contract is explicit
+    return t.filter(pc.not_equal(t.column("term"), ""))
+
+
 def term_counts(ds: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
     """Distributed term→count aggregate over a text column.
 
@@ -30,31 +53,9 @@ def term_counts(ds: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
     engine measured at the 1M skew drill (stages/groupagg.py)."""
     from .groupagg import bucketed_group_agg
 
-    def local_counts(batch: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(
-            pc.utf8_split_whitespace(pc.utf8_lower(batch.column(text_col)))
-        )
-        toks = pc.drop_null(toks)
-        if len(toks) == 0:
-            return pa.table(
-                {
-                    "term": pa.array([], pa.string()),
-                    "_n": pa.array([], pa.int64()),
-                }
-            )
-        vc = toks.combine_chunks().value_counts()
-        t = pa.table(
-            {
-                "term": vc.field("values"),
-                "_n": vc.field("counts").cast(pa.int64()),
-            }
-        )
-        # utf8_split_whitespace never emits empty tokens, but guard the
-        # empty-string term anyway so the contract is explicit
-        return t.filter(pc.not_equal(t.column("term"), ""))
-
     partials = ds.map_batches(
-        local_counts, batch_format="pyarrow", zero_copy_batch=True
+        lambda b: _local_term_counts(b, text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     # partials are already collapsed per batch; skip the second pass
     return bucketed_group_agg(
@@ -214,3 +215,115 @@ def doc_top_term(
         order_cols=["_neg_tf", "df", "term"],
     )
     return top.drop_columns(["_neg_tf"])
+
+
+def cms_top_terms(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+    candidates_per_batch: int | None = None,
+    width: int = 1 << 15,
+    depth: int = 4,
+) -> pa.Table:
+    """Approximate top-``k`` terms via count-min sketch — the scale
+    path when even the Zipf-bounded distinct-term stream of
+    ``top_terms`` is too wide to reduce exactly.
+
+    One pass over the corpus emits, per batch, (a) its local top-C
+    candidate terms and (b) ONE fixed-size CMS blob folding the
+    batch's full term counts.  CMS blobs merge by elementwise sum
+    (fan-in ``map_batches`` pass, driver sums the tail — same shape as
+    the Bloom build); the merged sketch broadcasts once and scores the
+    deduplicated candidate union vectorized.  CMS estimates are
+    one-sided (never under-count), so a true top-k term loses only if
+    it missed every batch's top-C — C defaults to ``4k``.
+
+    Output: ``{term, n_est}``, n_est = CMS estimate, ties broken by
+    term ascending.  Tolerance vs the exact ``top_terms`` twin is
+    asserted in tests."""
+    import ray
+
+    from ..functions.sketches import CountMinSketch
+    from .groupagg import bucketed_group_agg
+
+    C = candidates_per_batch or 4 * k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = _local_term_counts(batch, text_col)
+        n = counts.column("_n").to_numpy(zero_copy_only=False)
+        terms = counts.column("term").to_numpy(zero_copy_only=False)
+        cms = CountMinSketch(width, depth)
+        if len(terms):
+            cms.add(terms, n)
+        order = np.lexsort((terms, -n))[:C]
+        cand = terms[order]
+        return pa.table({
+            "term": pa.array(
+                np.concatenate([cand, [""]]), pa.string()
+            ),
+            "_blob": pa.array(
+                [None] * len(cand) + [cms.counts.tobytes()],
+                pa.large_binary(),
+            ),
+        })
+
+    # candidate rows + one sketch row per batch — tiny; pin it so the
+    # two consumers below don't re-tokenize the corpus
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def keep_blobs(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column("_blob"))).select(["_blob"])
+
+    def sum_blobs(batch: pa.Table) -> pa.Table:
+        acc = np.zeros((depth, width), dtype=np.int64)
+        for buf in batch.column("_blob"):
+            acc += np.frombuffer(buf.as_py(), dtype=np.int64).reshape(depth, width)
+        return pa.table({"_blob": pa.array([acc.tobytes()], pa.large_binary())})
+
+    acc = np.zeros((depth, width), dtype=np.int64)
+    merged = partials.map_batches(
+        keep_blobs, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(sum_blobs, batch_format="pyarrow", batch_size=64)
+    for b in merged.iter_batches(batch_size=64, batch_format="pyarrow"):
+        for buf in b.column("_blob"):
+            acc += np.frombuffer(buf.as_py(), dtype=np.int64).reshape(depth, width)
+    cms_ref = ray.put(acc)
+
+    cands = bucketed_group_agg(
+        partials.map_batches(
+            lambda b: b.filter(pc.is_null(b.column("_blob"))).select(["term"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["term"], [("_c", "term", "count")], partial=False,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        cms = CountMinSketch(width, depth, ray.get(cms_ref))
+        est = cms.estimate(terms) if len(terms) else np.array([], np.int64)
+        order = np.lexsort((terms, -est))[:k]
+        return pa.table({
+            "term": pa.array(terms[order], pa.string()),
+            "n_est": pa.array(est[order], pa.int64()),
+        })
+
+    tables = [
+        t for t in ray.get(
+            cands.map_batches(score, batch_format="pyarrow").to_arrow_refs()
+        ) if t.num_rows
+    ]
+    if not tables:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "n_est": pa.array([], pa.int64())}
+        )
+    m = pa.concat_tables(tables)
+    est = m.column("n_est").to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = m.column("term").to_numpy(zero_copy_only=False)
+    order = np.lexsort((terms, -est))[:k]
+    return pa.table({
+        "term": pa.array(terms[order], pa.string()),
+        "n_est": pa.array(est[order], pa.int64()),
+    })

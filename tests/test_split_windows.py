@@ -507,3 +507,55 @@ def test_interval_join_zero_length_and_empty_intervals():
     )
     assert out2.count() == 0
     assert set(out2.schema().names) == {"pid", "ts", "tag"}
+
+
+def test_cms_top_terms_one_sided_and_matches_exact():
+    """CMS estimates never undercount; with ample width the top-k
+    matches the exact twin term-for-term; with a starved width the
+    overestimate stays within the e/width bound."""
+    import pyarrow as pa
+
+    from mtb_validation_service_ray.stages.vocab import cms_top_terms, top_terms
+
+    rng = __import__("numpy").random.default_rng(3)
+    words = [f"w{i}" for i in range(300)]
+    probs = rng.dirichlet(__import__("numpy").ones(300) * 0.2)
+    docs = pa.table({
+        "text": [
+            " ".join(rng.choice(words, 30, p=probs)) for _ in range(400)
+        ]
+    })
+    ds = rd.from_arrow(docs)
+    exact = top_terms(rd.from_arrow(docs), k=10)
+    approx = cms_top_terms(ds, k=10, width=1 << 14, depth=4)
+    assert exact.column("term").to_pylist() == approx.column("term").to_pylist()
+    assert exact.column("n").to_pylist() == approx.column("n_est").to_pylist()
+
+    # starved sketch: estimates are >= truth and within e/width * total
+    total = 400 * 30
+    tight = cms_top_terms(rd.from_arrow(docs), k=10, width=256, depth=4)
+    ex = dict(zip(exact.column("term").to_pylist(), exact.column("n").to_pylist()))
+    import math
+
+    bound = math.e / 256 * total
+    for t, n_est in zip(
+        tight.column("term").to_pylist(), tight.column("n_est").to_pylist()
+    ):
+        if t in ex:
+            assert n_est >= ex[t]
+            assert n_est <= ex[t] + 4 * bound  # loose multi-probe slack
+
+
+def test_cms_merge_equals_single_sketch():
+    import numpy as np
+
+    from mtb_validation_service_ray.functions.sketches import CountMinSketch
+
+    a, b, whole = (CountMinSketch(512, 3) for _ in range(3))
+    v1 = np.array(["x", "y", "z"], dtype=object)
+    v2 = np.array(["y", "q"], dtype=object)
+    a.add(v1, np.array([5, 2, 1])); b.add(v2, np.array([7, 4]))
+    whole.add(v1, np.array([5, 2, 1])); whole.add(v2, np.array([7, 4]))
+    m = a.merge(b)
+    assert (m.counts == whole.counts).all()
+    assert m.estimate(np.array(["y"], dtype=object))[0] >= 9
