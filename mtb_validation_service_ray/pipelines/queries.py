@@ -1618,6 +1618,48 @@ def q_text_cms_top_terms(sf_dir: str):
     )
 
 
+def q_events_ranked_window(sf_dir: str):
+    """Ranked running window per user: ROW_NUMBER and a running sum
+    over (ts, event_id) order — one key-hash bucket shuffle, vectorized
+    cumcount/cumsum per bucket.  The running sum rides on integer
+    cents so the hash compare against the SQL window oracle is exact
+    (same convention as events_rolling_avg)."""
+    from ..stages.windows import ranked_window_per_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # half-up via floor(x+0.5) — np.rint is half-to-EVEN while SQL
+        # ROUND is half-away; this formula is identical on both sides
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "value_cents",
+            pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        )
+
+    out = ranked_window_per_key(
+        ev.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value_cents",
+        tiebreak_col="event_id",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "row_num": batch.column("row_num").cast(pa.int64()),
+                "run_sum_cents": batch.column("run_sum").cast(pa.int64()),
+            }
+        )
+
+    return _as_table(
+        out.map_batches(cast, batch_format="pyarrow")
+    ).sort_by([("event_id", "ascending")])
+
+
 def q_events_rolling_avg(sf_dir: str):
     """Per-key rolling window (ROWS 2 PRECEDING): count and avg of each
     user's last 3 events by time; avg via tie-free integer-cents floor
@@ -2643,6 +2685,7 @@ QUERIES = {
     "text_top_terms": q_text_top_terms,
     "text_cms_top_terms": q_text_cms_top_terms,
     "events_rolling_avg": q_events_rolling_avg,
+    "events_ranked_window": q_events_ranked_window,
     "sample_orders_hash": q_sample_orders_hash,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "events_pivot_user_type": q_events_pivot_user_type,
@@ -2691,6 +2734,15 @@ ORACLE_SQL["asof_latest_order_per_event"] = """
     SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
     FROM events e ASOF LEFT JOIN r
       ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    ORDER BY event_id"""
+
+ORACLE_SQL["events_ranked_window"] = """
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_num,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+               w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY event_id"""
 
 ORACLE_SQL["orders_semi_bloom"] = """

@@ -324,3 +324,52 @@ def rolling_window_per_key(
         .groupby("_bucket")
         .map_groups(roll_bucket, batch_format="pandas")
     )
+
+
+def ranked_window_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Ranked running window per key: ``row_num`` (1-based rank by
+    ``(ts, tiebreak)`` within the key) and ``run_sum`` (cumulative sum
+    of ``value`` in that order) — SQL ``ROW_NUMBER() OVER w`` and
+    ``SUM(value) OVER (w ROWS UNBOUNDED PRECEDING)``, distributed.
+
+    Same physical shape as ``rolling_window_per_key``: ONE key-hash
+    bucket shuffle, then each bucket ranks all its keys in one
+    vectorized pandas body (sort + grouped cumcount/cumsum).  Null
+    keys form their own partition (``dropna=False``)."""
+    from ..functions.sketches import hash64
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype("int32"))
+        )
+
+    order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def rank_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order, kind="stable").reset_index(drop=True)
+        gb = g.groupby(key_col, sort=False, dropna=False)
+        g["row_num"] = (gb.cumcount() + 1).astype("int64")
+        g["run_sum"] = gb[value_col].cumsum()
+        return g.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )

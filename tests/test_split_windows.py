@@ -559,3 +559,45 @@ def test_cms_merge_equals_single_sketch():
     m = a.merge(b)
     assert (m.counts == whole.counts).all()
     assert m.estimate(np.array(["y"], dtype=object))[0] >= 9
+
+
+def test_ranked_window_per_key_nulls_and_order():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from mtb_validation_service_ray.stages.windows import ranked_window_per_key
+
+    t = pa.table({
+        "k": pa.array([1, 1, None, 2, 1, None], pa.int64()),
+        "ts": pa.array([3, 1, 5, 2, 1, 4], pa.int64()),
+        "tie": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+    })
+    out = (
+        ranked_window_per_key(
+            rd.from_arrow(t), key_col="k", ts_col="ts", value_col="v",
+            tiebreak_col="tie", num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values(["ts", "tie"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df = df.sort_values(["k", "ts", "tie"]).reset_index(drop=True)
+    gb = df.groupby("k", sort=False, dropna=False)
+    df["row_num"] = (gb.cumcount() + 1).astype("int64")
+    df["run_sum"] = gb.v.cumsum()
+    df = df.sort_values(["ts", "tie"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["k", "ts", "tie", "v", "row_num", "run_sum"]].astype(
+            {"run_sum": "int64"}
+        ),
+        df[["k", "ts", "tie", "v", "row_num", "run_sum"]].astype(
+            {"run_sum": "int64"}
+        ),
+        check_dtype=False,
+    )
+    # null keys ranked as their own partition
+    nulls = out[out.k.isna()].sort_values("ts")
+    assert nulls.row_num.tolist() == [1, 2]
