@@ -1470,6 +1470,61 @@ def q_events_anti_bloom(sf_dir: str):
     return _as_table(out).sort_by([("event_id", "ascending")])
 
 
+def _events_value_sides(sf_dir: str):
+    """Two genuinely overlapping (user, type) relations: pairs with a
+    high-value event vs pairs active in the first days of the log —
+    each non-empty both ways so INTERSECT and EXCEPT are non-trivial."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value", "ts"])
+    cut = np.datetime64("2024-01-10T00:00:00", "us")
+
+    def side(hi: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            if hi:
+                keep = pc.greater(batch.column("value"), 100.0)
+            else:
+                keep = pc.less(
+                    batch.column("ts"), pa.scalar(cut, pa.timestamp("us"))
+                )
+            return batch.filter(pc.fill_null(keep, False)).select(
+                ["user_id", "event_type"]
+            )
+        return fn
+
+    a = ev.map_batches(side(True), batch_format="pyarrow", zero_copy_batch=True)
+    b = ev.map_batches(side(False), batch_format="pyarrow", zero_copy_batch=True)
+    return a, b
+
+
+def q_events_intersect_sides(sf_dir: str):
+    """Distributed INTERSECT DISTINCT over row tuples: (user, type)
+    pairs with both a >100-value event and an early-log event — tagged
+    union, per-batch dedupe, one bucketed reduce; DuckDB recomputes
+    with INTERSECT."""
+    from ..stages.setops import set_op
+
+    a, b = _events_value_sides(sf_dir)
+    out = set_op(a, b, "intersect")
+    return _as_table(out).sort_by(
+        [("user_id", "ascending"), ("event_type", "ascending")]
+    )
+
+
+def q_events_except_sides(sf_dir: str):
+    """Distributed EXCEPT DISTINCT: (user, type) pairs with a
+    >100-value event but no early-log activity — same plan as
+    INTERSECT with the survival flipped."""
+    from ..stages.setops import set_op
+
+    a, b = _events_value_sides(sf_dir)
+    out = _with_schema(
+        set_op(a, b, "except"),
+        pa.schema([("user_id", pa.int64()), ("event_type", pa.string())]),
+    )
+    return out.sort_by(
+        [("user_id", "ascending"), ("event_type", "ascending")]
+    )
+
+
 def q_events_sliding_window(sf_dir: str):
     """Sliding (hopping) 6-hour windows every hour over events, keyed
     by event_type — partial-aggregated inside the batch (lexsort +
@@ -2679,6 +2734,8 @@ QUERIES = {
     "range_join_events_in_order_window": q_range_join_events_in_order_window,
     "orders_semi_bloom": q_orders_semi_bloom,
     "events_anti_bloom": q_events_anti_bloom,
+    "events_intersect_sides": q_events_intersect_sides,
+    "events_except_sides": q_events_except_sides,
     "events_sliding_window": q_events_sliding_window,
     "split_lineitem_hash": q_split_lineitem_hash,
     "cap_events_per_user": q_cap_events_per_user,
@@ -2744,6 +2801,18 @@ ORACLE_SQL["events_ranked_window"] = """
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY event_id"""
+
+ORACLE_SQL["events_intersect_sides"] = """
+    SELECT user_id, event_type FROM events WHERE value > 100
+    INTERSECT
+    SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-10'
+    ORDER BY user_id, event_type"""
+
+ORACLE_SQL["events_except_sides"] = """
+    SELECT user_id, event_type FROM events WHERE value > 100
+    EXCEPT
+    SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-10'
+    ORDER BY user_id, event_type"""
 
 ORACLE_SQL["orders_semi_bloom"] = """
     SELECT o_orderkey, o_custkey, o_totalprice

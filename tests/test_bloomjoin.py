@@ -113,3 +113,55 @@ def test_bloom_has_no_false_negatives():
     # and the fp rate on disjoint probes is in the designed ballpark
     fp = _test_bits(words, np.arange(1000) * 7 + 3, m, k).mean()
     assert fp < 0.05
+
+
+# --- set_op (stages/setops.py) lives with the other two-sided ops ---
+
+
+def _setop_tables():
+    a = pa.table({
+        "x": pa.array([1, 1, 2, None, 3], pa.int64()),
+        "y": pa.array(["p", "p", "q", "r", None], pa.string()),
+    })
+    b = pa.table({
+        "x": pa.array([1, None, 4], pa.int64()),
+        "y": pa.array(["p", "r", "s"], pa.string()),
+    })
+    return a, b
+
+
+def test_set_op_intersect_nulls_group_as_values():
+    from mtb_validation_service_ray.stages.setops import set_op
+
+    a, b = _setop_tables()
+    out = set_op(rd.from_arrow(a), rd.from_arrow(b), "intersect", num_buckets=3)
+    rows = sorted(
+        [(r["x"], r["y"]) for r in out.take_all()],
+        key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+    )
+    # (1,p) in both; (None,r) matches by IS NOT DISTINCT FROM semantics
+    assert rows == [(1, "p"), (None, "r")]
+
+
+def test_set_op_except_distinct():
+    from mtb_validation_service_ray.stages.setops import set_op
+
+    a, b = _setop_tables()
+    out = set_op(rd.from_arrow(a), rd.from_arrow(b), "except", num_buckets=3)
+    rows = sorted(
+        [(r["x"], r["y"]) for r in out.take_all()],
+        key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+    )
+    assert rows == [(2, "q"), (3, None)]
+
+
+def test_set_op_empty_side():
+    from mtb_validation_service_ray.stages.setops import set_op
+
+    a, _ = _setop_tables()
+    empty = pa.table({
+        "x": pa.array([], pa.int64()), "y": pa.array([], pa.string())
+    })
+    assert set_op(rd.from_arrow(a), rd.from_arrow(empty), "intersect").count() == 0
+    # a EXCEPT empty = distinct(a) — 4 distinct rows
+    assert set_op(rd.from_arrow(a), rd.from_arrow(empty), "except").count() == 4
