@@ -1792,6 +1792,20 @@ def q_sample_orders_hash(sf_dir: str):
     )
 
 
+def q_tdigest_quantiles_per_type(sf_dir: str):
+    """GROUPED t-digest quantiles (rows-only — sketch lane; the exact
+    twin ``events_value_quantiles_exact`` is hash-checked and the ±3%
+    tolerance is asserted in tests/test_stats.py): per-(batch, key)
+    centroid blobs, one key-bucket exchange, mergeable centroids."""
+    from ..stages.stats import grouped_tdigest_quantiles
+
+    out = grouped_tdigest_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value",
+    )
+    return _as_table(out).sort_by([("event_type", "ascending")])
+
+
 def q_events_value_quantiles_exact(sf_dir: str):
     """EXACT grouped quantiles (rank selection, no interpolation) of
     events.value per event_type — the exact twin of the t-digest
@@ -2745,6 +2759,7 @@ QUERIES = {
     "events_ranked_window": q_events_ranked_window,
     "sample_orders_hash": q_sample_orders_hash,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
+    "tdigest_quantiles_per_type": q_tdigest_quantiles_per_type,
     "events_pivot_user_type": q_events_pivot_user_type,
     "sample_stratified_events": q_sample_stratified_events,
     "text_doc_top_term": q_text_doc_top_term,

@@ -547,3 +547,98 @@ def grouped_hll_distinct(
 def _schema_of(ds: rd.Dataset) -> pa.Schema:
     s = ds.schema()
     return getattr(s, "base_schema", s)
+
+
+def grouped_tdigest_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    max_centroids: int = 128,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Approximate per-key quantiles via mergeable t-digests — the
+    sketch twin of the exact grouped-quantile lane: each batch folds
+    into one bounded centroid blob per (batch, key), the exchange
+    moves fixed-size sketch rows, and per-bucket merge cost scales
+    with the number of partials, never raw values.  NaN/null values
+    are ignored; null keys form their own group; a key whose values
+    are all null yields NaN quantiles."""
+    import pyarrow.compute as pc
+
+    key_type = _schema_of(ds).field(key_col).type
+    qcols = [f"q{int(q * 100):02d}" for q in quantiles]
+
+    def pack(d: TDigest) -> bytes:
+        d._compress()
+        return np.concatenate([d.means, d.weights]).astype(np.float64).tobytes()
+
+    def unpack(blob: bytes) -> TDigest:
+        a = np.frombuffer(blob, dtype=np.float64)
+        h = len(a) // 2
+        return TDigest(max_centroids, a[:h].copy(), a[h:].copy())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pandas()
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(keys, use_na_sentinel=False)
+        blobs = []
+        vals = np.asarray(vals, dtype=np.float64)
+        order = np.argsort(codes, kind="stable")
+        starts = np.flatnonzero(np.r_[True, np.diff(codes[order]) != 0])
+        bounds = np.r_[starts, len(codes)]
+        sorted_vals = vals[order]
+        for gi in range(len(starts)):
+            d = TDigest(max_centroids)
+            d.add(sorted_vals[bounds[gi]:bounds[gi + 1]])
+            blobs.append(pack(d))
+        return pa.table({
+            key_col: pa.Array.from_pandas(
+                pd.Series(uniques[codes[order][starts]]), type=key_type
+            ),
+            "_td": pa.array(blobs, pa.large_binary()),
+        })
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col)
+        filled = pc.fill_null(
+            k, pa.scalar("", key_type)
+            if pa.types.is_string(key_type) else pa.scalar(0, key_type)
+        )
+        b = (
+            hash64(filled.to_numpy(zero_copy_only=False))
+            % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def merge_bucket(group: pd.DataFrame) -> pa.Table:
+        codes, uniques = pd.factorize(group[key_col], use_na_sentinel=False)
+        blobs = group["_td"].to_numpy()
+        out_keys, rows = [], []
+        for gi in range(len(uniques)):
+            d = TDigest(max_centroids)
+            for blob in blobs[codes == gi]:
+                d = d.merge(unpack(blob))
+            out_keys.append(uniques[gi])
+            rows.append([d.quantile(q) for q in quantiles])
+        arr = np.asarray(rows, dtype=np.float64).reshape(len(rows), len(quantiles))
+        cols = {
+            key_col: pa.Array.from_pandas(pd.Series(out_keys), type=key_type)
+        }
+        for j, qc in enumerate(qcols):
+            cols[qc] = pa.array(arr[:, j], pa.float64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )

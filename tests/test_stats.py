@@ -157,3 +157,49 @@ def test_grouped_hll_distinct_tolerance_and_nulls():
     for k, ex in exact.items():
         k = None if pd.isna(k) else k
         assert abs(out[k] - ex) / ex < 0.05, (k, out[k], ex)
+
+
+def test_grouped_tdigest_quantiles_tolerance():
+    """Per-key t-digest quantiles within ±3% of exact on a skewed
+    distribution; all-null value keys yield NaN; null keys grouped."""
+    from mtb_validation_service_ray.stages.stats import grouped_tdigest_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    keys = rng.choice(["a", "b"], n).astype(object)
+    keys[::311] = None
+    vals = np.where(
+        keys == "a", rng.lognormal(3.0, 1.0, n), rng.normal(50, 10, n)
+    )
+    t = pa.table({
+        "k": pa.array(list(keys), pa.string()),
+        "v": pa.array(vals, pa.float64()),
+    })
+    out = {
+        r["k"]: (r["q25"], r["q50"], r["q75"], r["q90"])
+        for r in grouped_tdigest_quantiles(
+            rd.from_arrow(t), "k", "v", num_buckets=4
+        ).take_all()
+    }
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    assert set(out) == {"a", "b", None}
+    for key, grp in df.groupby("k", dropna=False):
+        key = None if pd.isna(key) else key
+        exact = grp.v.quantile([0.25, 0.5, 0.75, 0.9]).to_numpy()
+        got = np.asarray(out[key])
+        assert (np.abs(got - exact) / np.abs(exact) < 0.03).all(), (key, got, exact)
+
+    # a key whose values are all null yields NaN quantiles
+    t2 = pa.table({
+        "k": pa.array(["x", "x", "y"], pa.string()),
+        "v": pa.array([None, None, 1.0], pa.float64()),
+    })
+    rows = {
+        r["k"]: r["q50"]
+        for r in grouped_tdigest_quantiles(
+            rd.from_arrow(t2), "k", "v", num_buckets=2
+        ).take_all()
+    }
+    assert rows["y"] == 1.0 and (rows["x"] is None or np.isnan(rows["x"]))
