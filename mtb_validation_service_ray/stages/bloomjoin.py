@@ -140,7 +140,13 @@ def bloom_semi_join(
     result; the Bloom filter only prunes the exact-verify input.
 
     ``expected_keys`` sizes the filter (defaults to
-    ``right_keys.count()`` — metadata-cheap on a plain read)."""
+    ``right_keys.count()`` — metadata-cheap on a plain read).
+
+    Cost note: ``semi`` scans the fact side once (the maybe set is
+    pinned and reused); ``anti`` scans it twice — once for maybes,
+    once for the definite keeps — because Ray Data has no one-pass
+    multi-output operator and materializing a tagged copy of the
+    whole fact table would cost more than the second scan."""
     if mode not in ("semi", "anti"):
         raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
     lcol, rcol = on

@@ -464,7 +464,13 @@ def grouped_hll_distinct(
     (lexsorted ``np.maximum.reduceat`` per bucket).  Null values are
     ignored (SQL ``count(DISTINCT x)`` semantics); null keys form
     their own group.  Output: ``{key_col, n_distinct_est}`` — ±~1.6%
-    at p=12, tolerance-asserted against the exact twin in tests."""
+    at p=12, tolerance-asserted against the exact twin in tests.
+
+    Regime note: each (batch, key) partial is ``2^p`` bytes, so this
+    lane pays off when keys repeat across batches (keys ≪ rows).  For
+    near-unique keys the blobs dwarf the values — use the exact lane
+    (``bucketed_group_agg`` distinct, ``distinct_users_per_type``)
+    there instead, or drop ``p``."""
     import pyarrow.compute as pc
 
     m = 1 << p
