@@ -1806,6 +1806,19 @@ def q_tdigest_quantiles_per_type(sf_dir: str):
     return _as_table(out).sort_by([("event_type", "ascending")])
 
 
+def q_sample_orders_bottomk(sf_dir: str):
+    """Exact-size deterministic sample: the 500 orders with the
+    globally smallest Knuth-hashed orderkey — per-batch local bottom-k,
+    tiny candidate merge; DuckDB recomputes the same hash and LIMITs."""
+    from ..stages.split import bottomk_sample
+
+    out = bottomk_sample(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        key_col="o_orderkey", n=500,
+    )
+    return out.sort_by([("o_orderkey", "ascending")])
+
+
 def q_events_value_quantiles_exact(sf_dir: str):
     """EXACT grouped quantiles (rank selection, no interpolation) of
     events.value per event_type — the exact twin of the t-digest
@@ -2758,6 +2771,7 @@ QUERIES = {
     "events_rolling_avg": q_events_rolling_avg,
     "events_ranked_window": q_events_ranked_window,
     "sample_orders_hash": q_sample_orders_hash,
+    "sample_orders_bottomk": q_sample_orders_bottomk,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "tdigest_quantiles_per_type": q_tdigest_quantiles_per_type,
     "events_pivot_user_type": q_events_pivot_user_type,
@@ -2941,6 +2955,15 @@ ORACLE_SQL["sample_orders_hash"] = """
     WHERE CAST((CAST(o_orderkey % 4294967296 AS HUGEINT) * 2654435761)
                % 4294967296 AS DOUBLE) < 0.1 * 4294967296
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+ORACLE_SQL["sample_orders_bottomk"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY CAST((CAST(o_orderkey % 4294967296 AS HUGEINT)
+                       * 2654435761) % 4294967296 AS BIGINT), o_orderkey
+        LIMIT 500
+    ) ORDER BY o_orderkey"""
 
 ORACLE_SQL["events_value_quantiles_exact"] = """
     WITH r AS (

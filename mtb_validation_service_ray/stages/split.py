@@ -189,3 +189,44 @@ def stratified_sample(
         num_buckets=num_buckets,
     )
     return capped.drop_columns(["_h"])
+
+
+def bottomk_sample(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    n: int,
+    salt: int = 0,
+) -> pa.Table:
+    """EXACT-size deterministic uniform sample: the ``n`` rows whose
+    hashed INTEGER key is globally smallest (ties broken by the key
+    itself — pass a unique key for a total order).  Complements
+    ``hash_sample``: Bernoulli gives a deterministic FRACTION, bottom-k
+    gives a deterministic COUNT, both pure functions of (key, salt) so
+    reruns and retried tasks reproduce the same rows.
+
+    Distributed shape: each batch keeps its local bottom-n (vectorized
+    lexsort), the driver merges the tiny ``#blocks × n`` candidate
+    stream — the same top-k merge pattern as ``top_terms``; the full
+    table is never collected.  The hash is the SQL-recomputable Knuth
+    mix, so a DuckDB ``ORDER BY hash, key LIMIT n`` oracle matches
+    row-for-row.  Null keys hash to the top of the space and are never
+    sampled while ≥ n non-null keys exist."""
+    import ray
+
+    def local(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = split_hash_u32(keys, salt)
+        order = np.lexsort((keys, h))[:n]
+        return batch.take(pa.array(np.sort(order)))
+
+    cands = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    tables = [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        schema = ds.schema()
+        return getattr(schema, "base_schema", schema).empty_table()
+    merged = pa.concat_tables(tables)
+    keys = merged.column(key_col).to_numpy(zero_copy_only=False)
+    h = split_hash_u32(keys, salt)
+    order = np.lexsort((keys, h))[:n]
+    return merged.take(pa.array(order))

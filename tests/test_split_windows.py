@@ -601,3 +601,39 @@ def test_ranked_window_per_key_nulls_and_order():
     # null keys ranked as their own partition
     nulls = out[out.k.isna()].sort_values("ts")
     assert nulls.row_num.tolist() == [1, 2]
+
+
+def test_bottomk_sample_exact_n_deterministic_and_stable():
+    """Bottom-k: exact n rows, rerun-identical, block-layout-invariant,
+    and a superset relation — bottom-(n) ⊂ bottom-(n+m)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mtb_validation_service_ray.stages.split import bottomk_sample
+
+    rng = np.random.default_rng(9)
+    keys = rng.permutation(10_000).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(np.arange(10_000))})
+
+    s1 = bottomk_sample(rd.from_arrow(t), key_col="k", n=100)
+    s2 = bottomk_sample(
+        rd.from_arrow(t).repartition(7), key_col="k", n=100
+    )
+    assert s1.num_rows == 100
+    k1 = sorted(s1.column("k").to_pylist())
+    assert k1 == sorted(s2.column("k").to_pylist())
+
+    s3 = bottomk_sample(rd.from_arrow(t), key_col="k", n=250)
+    assert set(k1) <= set(s3.column("k").to_pylist())
+
+    # a different salt reshuffles the selection
+    s4 = bottomk_sample(rd.from_arrow(t), key_col="k", n=100, salt=1)
+    assert set(k1) != set(s4.column("k").to_pylist())
+
+    # null keys never sampled while enough non-null keys exist
+    tn = pa.table({
+        "k": pa.array([1, 2, None, 3, None], pa.int64()),
+        "v": pa.array(range(5)),
+    })
+    sn = bottomk_sample(rd.from_arrow(tn), key_col="k", n=3)
+    assert sorted(sn.column("k").to_pylist()) == [1, 2, 3]
