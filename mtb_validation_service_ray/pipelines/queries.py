@@ -1806,6 +1806,23 @@ def q_tdigest_quantiles_per_type(sf_dir: str):
     return _as_table(out).sort_by([("event_type", "ascending")])
 
 
+def q_events_zscore_per_type(sf_dir: str):
+    """Per-key z-score feature normalization: two-pass — per-key
+    moments through the bucketed reduce, then the tiny (mean, std)
+    table broadcasts and every batch normalizes vectorized (the fact
+    table is never shuffled).  Rounded to 6 decimals on both sides so
+    the hash compare is exact despite summation-order ulp drift."""
+    from ..stages.stats import zscore_per_key
+
+    out = zscore_per_key(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value",
+    )
+    return _as_table(
+        out.select_columns(["event_id", "event_type", "z"])
+    ).sort_by([("event_id", "ascending")])
+
+
 def q_sample_orders_bottomk(sf_dir: str):
     """Exact-size deterministic sample: the 500 orders with the
     globally smallest Knuth-hashed orderkey — per-batch local bottom-k,
@@ -2772,6 +2789,7 @@ QUERIES = {
     "events_ranked_window": q_events_ranked_window,
     "sample_orders_hash": q_sample_orders_hash,
     "sample_orders_bottomk": q_sample_orders_bottomk,
+    "events_zscore_per_type": q_events_zscore_per_type,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "tdigest_quantiles_per_type": q_tdigest_quantiles_per_type,
     "events_pivot_user_type": q_events_pivot_user_type,
@@ -2955,6 +2973,18 @@ ORACLE_SQL["sample_orders_hash"] = """
     WHERE CAST((CAST(o_orderkey % 4294967296 AS HUGEINT) * 2654435761)
                % 4294967296 AS DOUBLE) < 0.1 * 4294967296
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+ORACLE_SQL["events_zscore_per_type"] = """
+    SELECT event_id, event_type,
+           CASE WHEN value IS NULL OR event_type IS NULL
+                     OR STDDEV_POP(value) OVER w = 0
+                THEN NULL
+                ELSE ROUND((value - AVG(value) OVER w)
+                           / STDDEV_POP(value) OVER w, 6)
+           END AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    ORDER BY event_id"""
 
 ORACLE_SQL["sample_orders_bottomk"] = """
     SELECT o_orderkey, o_custkey, o_totalprice FROM (

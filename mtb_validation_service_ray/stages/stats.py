@@ -648,3 +648,90 @@ def grouped_tdigest_quantiles(
         .groupby("_bucket")
         .map_groups(merge_bucket, batch_format="pandas")
     )
+
+
+def zscore_per_key(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    *,
+    out_col: str = "z",
+    decimals: int = 6,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key z-score normalization — the feature-engineering two-pass:
+    (1) per-key count/sum/sum-of-squares through the bucketed reduce
+    (one small exchange of per-batch partials), (2) the tiny per-key
+    (mean, std) table broadcasts once via ``ray.put`` and every batch
+    normalizes vectorized — the fact table itself is never shuffled.
+
+    Population std (``STDDEV_POP``); single-row or zero-variance keys
+    and null values yield a null z.  The score is rounded to
+    ``decimals`` so a SQL oracle computing the same expression matches
+    exactly despite summation-order ulp drift."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .groupagg import bucketed_group_agg
+
+    def moments(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        vals = batch.column(value_col)
+        ok = pc.is_valid(vals)
+        keys, vals = keys.filter(ok), vals.filter(ok)
+        v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniques = pd.factorize(keys.to_pandas(), use_na_sentinel=False)
+        n = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        s = np.bincount(codes, weights=v, minlength=len(uniques))
+        s2 = np.bincount(codes, weights=v * v, minlength=len(uniques))
+        return pa.table({
+            key_col: pa.Array.from_pandas(pd.Series(uniques)),
+            "_n": pa.array(n), "_s": pa.array(s), "_s2": pa.array(s2),
+        })
+
+    stats = bucketed_group_agg(
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col],
+        [("n", "_n", "sum"), ("s", "_s", "sum"), ("s2", "_s2", "sum")],
+        num_buckets=num_buckets, partial=False,
+    )
+    # per-key stats table: #distinct keys rows — the broadcast side
+    tbls = [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows]
+    if tbls:
+        st = pa.concat_tables(tbls)
+        n = st.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = st.column("s").to_numpy(zero_copy_only=False)
+        s2 = st.column("s2").to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = np.maximum(s2 / n - mean * mean, 0.0)
+        std = np.sqrt(var)
+        lut = pd.Series(
+            list(zip(mean, std)),
+            index=pd.Index(st.column(key_col).to_pandas()),
+        )
+    else:
+        lut = pd.Series(dtype=object)
+    lut_ref = ray.put(lut)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        keys = batch.column(key_col).to_pandas()
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        idx = lut.index.get_indexer(pd.Index(keys))
+        z = np.full(len(v), np.nan)
+        hit = idx >= 0
+        if hit.any():
+            pairs = lut.to_numpy()[idx[hit]]
+            mean = np.array([p[0] for p in pairs])
+            std = np.array([p[1] for p in pairs])
+            vv = v[hit]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                zz = np.where(std > 0, (vv - mean) / std, np.nan)
+            z[hit] = np.round(zz, decimals)
+        return batch.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(
+        normalize, batch_format="pyarrow", zero_copy_batch=True
+    )

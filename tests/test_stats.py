@@ -203,3 +203,27 @@ def test_grouped_tdigest_quantiles_tolerance():
         ).take_all()
     }
     assert rows["y"] == 1.0 and (rows["x"] is None or np.isnan(rows["x"]))
+
+
+def test_zscore_per_key_edges():
+    """Zero-variance and singleton keys yield null z; null values null;
+    values normalize to mean 0 / std 1 per key."""
+    from mtb_validation_service_ray.stages.stats import zscore_per_key
+
+    t = pa.table({
+        "k": pa.array(["a"] * 4 + ["b"] * 3 + ["c"], pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0, None, 5.0, 5.0, 5.0, 9.0], pa.float64()),
+    })
+    out = (
+        zscore_per_key(rd.from_arrow(t), "k", "v", num_buckets=2)
+        .to_pandas()
+    )
+    a = out[out.k == "a"].sort_values("v")
+    az = a.z.to_numpy()
+    assert np.isnan(az[-1])  # null value
+    got = az[:3]
+    vals = np.array([1.0, 2.0, 3.0])
+    exp = (vals - vals.mean()) / vals.std()
+    assert np.allclose(got, np.round(exp, 6))
+    assert out[out.k == "b"].z.isna().all()  # zero variance
+    assert out[out.k == "c"].z.isna().all()  # singleton
