@@ -1715,6 +1715,31 @@ def q_events_ranked_window(sf_dir: str):
     ).sort_by([("event_id", "ascending")])
 
 
+def q_events_ntile_per_user(sf_dir: str):
+    """NTILE(4) per user over (ts, event_id) order — exact SQL
+    remainder semantics (first c%4 tiles take the extra row), one
+    bucket shuffle, vectorized tiling per bucket."""
+    from ..stages.windows import ntile_per_key
+
+    out = ntile_per_key(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        key_col="user_id", ts_col="ts", n_tiles=4, tiebreak_col="event_id",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "tile": batch.column("tile").cast(pa.int64()),
+            }
+        )
+
+    return _as_table(
+        out.map_batches(cast, batch_format="pyarrow")
+    ).sort_by([("event_id", "ascending")])
+
+
 def q_events_rolling_avg(sf_dir: str):
     """Per-key rolling window (ROWS 2 PRECEDING): count and avg of each
     user's last 3 events by time; avg via tie-free integer-cents floor
@@ -2787,6 +2812,7 @@ QUERIES = {
     "text_cms_top_terms": q_text_cms_top_terms,
     "events_rolling_avg": q_events_rolling_avg,
     "events_ranked_window": q_events_ranked_window,
+    "events_ntile_per_user": q_events_ntile_per_user,
     "sample_orders_hash": q_sample_orders_hash,
     "sample_orders_bottomk": q_sample_orders_bottomk,
     "events_zscore_per_type": q_events_zscore_per_type,
@@ -2838,6 +2864,13 @@ ORACLE_SQL["asof_latest_order_per_event"] = """
     SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
     FROM events e ASOF LEFT JOIN r
       ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    ORDER BY event_id"""
+
+ORACLE_SQL["events_ntile_per_user"] = """
+    SELECT event_id, user_id,
+           CAST(NTILE(4) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) AS tile
+    FROM events
     ORDER BY event_id"""
 
 ORACLE_SQL["events_ranked_window"] = """

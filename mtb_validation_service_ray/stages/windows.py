@@ -373,3 +373,63 @@ def ranked_window_per_key(
         .groupby("_bucket")
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+def ntile_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    n_tiles: int,
+    tiebreak_col: str | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY ts, tiebreak)``,
+    distributed: one key-hash bucket shuffle, then each bucket tiles
+    all its keys vectorized.  Exact SQL remainder semantics — with
+    ``c`` rows and ``q, r = divmod(c, n)``, the first ``r`` tiles get
+    ``q+1`` rows, the rest ``q``.  Null keys tile as their own
+    partition."""
+    from ..functions.sketches import hash64
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype("int32"))
+        )
+
+    order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def tile_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = group.sort_values(order, kind="stable").reset_index(drop=True)
+        gb = g.groupby(key_col, sort=False, dropna=False)
+        row0 = gb.cumcount().to_numpy()  # 0-based rank within key
+        cnt = gb[key_col].transform("size").to_numpy()
+        # fill null-key rows (transform yields NaN count for the null
+        # group under dropna-default paths) defensively, then SQL tile
+        cnt = np.nan_to_num(cnt, nan=0).astype(np.int64)
+        q, r = cnt // n_tiles, cnt % n_tiles
+        big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+        in_big = row0 < big
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile_big = row0 // np.maximum(q + 1, 1)
+            tile_small = r + (row0 - big) // np.maximum(q, 1)
+        g["tile"] = (np.where(in_big, tile_big, tile_small) + 1).astype(
+            "int64"
+        )
+        return g.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(tile_bucket, batch_format="pandas")
+    )

@@ -637,3 +637,30 @@ def test_bottomk_sample_exact_n_deterministic_and_stable():
     })
     sn = bottomk_sample(rd.from_arrow(tn), key_col="k", n=3)
     assert sorted(sn.column("k").to_pylist()) == [1, 2, 3]
+
+
+def test_ntile_per_key_sql_remainder_semantics():
+    import numpy as np
+    import pyarrow as pa
+
+    from mtb_validation_service_ray.stages.windows import ntile_per_key
+
+    # key a: 7 rows over 3 tiles -> sizes 3,2,2; key b: 2 rows over 3
+    # tiles -> sizes 1,1 (tile 3 empty); null key: own partition
+    t = pa.table({
+        "k": pa.array([1] * 7 + [2] * 2 + [None], pa.int64()),
+        "ts": pa.array(list(range(7)) + [0, 1] + [0], pa.int64()),
+        "tie": pa.array(range(10), pa.int64()),
+    })
+    out = (
+        ntile_per_key(
+            rd.from_arrow(t), key_col="k", ts_col="ts", n_tiles=3,
+            tiebreak_col="tie", num_buckets=2,
+        )
+        .to_pandas()
+    )
+    a = out[out.k == 1].sort_values("ts").tile.tolist()
+    assert a == [1, 1, 1, 2, 2, 3, 3]
+    b = out[out.k == 2].sort_values("ts").tile.tolist()
+    assert b == [1, 2]
+    assert out[out.k.isna()].tile.tolist() == [1]
