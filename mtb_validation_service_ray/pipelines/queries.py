@@ -1715,6 +1715,53 @@ def q_events_ranked_window(sf_dir: str):
     ).sort_by([("event_id", "ascending")])
 
 
+def q_events_lag_lead(sf_dir: str):
+    """LAG/LEAD of value and microseconds-since-previous-event per
+    user over (ts, event_id) order — sessionization features; nulls at
+    partition edges.  Values ride on integer cents (same convention as
+    events_ranked_window) so the hash compare is exact."""
+    from ..stages.windows import lag_lead_per_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "value_cents",
+            pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        )
+
+    out = lag_lead_per_key(
+        ev.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="user_id", ts_col="ts", value_col="value_cents",
+        tiebreak_col="event_id",
+    )
+
+    def nan_to_null_int(col) -> pa.Array:
+        # pandas shift() returns float64 with NaN at partition edges;
+        # Arrow refuses NaN→int casts, so mask the NaNs into nulls
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = np.isnan(v)
+        return pa.array(
+            np.where(mask, 0, v).astype(np.int64), mask=mask
+        )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "lag_cents": nan_to_null_int(batch.column("lag_value")),
+                "lead_cents": nan_to_null_int(batch.column("lead_value")),
+                "delta_us": nan_to_null_int(batch.column("delta_us")),
+            }
+        )
+
+    return _as_table(
+        out.map_batches(cast, batch_format="pyarrow")
+    ).sort_by([("event_id", "ascending")])
+
+
 def q_events_ntile_per_user(sf_dir: str):
     """NTILE(4) per user over (ts, event_id) order — exact SQL
     remainder semantics (first c%4 tiles take the extra row), one
@@ -2813,6 +2860,7 @@ QUERIES = {
     "events_rolling_avg": q_events_rolling_avg,
     "events_ranked_window": q_events_ranked_window,
     "events_ntile_per_user": q_events_ntile_per_user,
+    "events_lag_lead": q_events_lag_lead,
     "sample_orders_hash": q_sample_orders_hash,
     "sample_orders_bottomk": q_sample_orders_bottomk,
     "events_zscore_per_type": q_events_zscore_per_type,
@@ -2864,6 +2912,15 @@ ORACLE_SQL["asof_latest_order_per_event"] = """
     SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
     FROM events e ASOF LEFT JOIN r
       ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    ORDER BY event_id"""
+
+ORACLE_SQL["events_lag_lead"] = """
+    SELECT event_id, user_id,
+           LAG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS lag_cents,
+           LEAD(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS lead_cents,
+           CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS delta_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY event_id"""
 
 ORACLE_SQL["events_ntile_per_user"] = """

@@ -433,3 +433,67 @@ def ntile_per_key(
         .groupby("_bucket")
         .map_groups(tile_bucket, batch_format="pandas")
     )
+
+
+def lag_lead_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``LAG(value)`` / ``LEAD(value)`` and the inter-event time
+    delta per key over ``(ts, tiebreak)`` order — the sessionization
+    features (previous value, next value, microseconds since previous
+    event; null at partition edges).  Same physical shape as the other
+    per-key windows: one key-hash bucket shuffle, vectorized grouped
+    ``shift`` per bucket."""
+    from ..functions.sketches import hash64
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype("int32"))
+        )
+
+    order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def shift_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order, kind="stable").reset_index(drop=True)
+        gb = g.groupby(key_col, sort=False, dropna=False)
+        g["lag_value"] = gb[value_col].shift(1)
+        g["lead_value"] = gb[value_col].shift(-1)
+        prev_ts = gb[ts_col].shift(1)
+        delta = g[ts_col] - prev_ts
+        # timestamps yield Timedelta; ints subtract directly.  Convert
+        # via integer microseconds — total_seconds() is a float and
+        # drops sub-second precision on multi-day deltas
+        if hasattr(delta.dtype, "kind") and delta.dtype.kind == "m":
+            import numpy as np
+
+            ns = delta.to_numpy()
+            nat = np.isnat(ns)
+            us = np.where(
+                nat,
+                0,
+                ns.astype("timedelta64[us]").astype(np.int64),
+            ).astype(np.float64)
+            g["delta_us"] = np.where(nat, np.nan, us)
+        else:
+            g["delta_us"] = delta.astype("float64")
+        return g.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(shift_bucket, batch_format="pandas")
+    )

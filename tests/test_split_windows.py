@@ -664,3 +664,32 @@ def test_ntile_per_key_sql_remainder_semantics():
     b = out[out.k == 2].sort_values("ts").tile.tolist()
     assert b == [1, 2]
     assert out[out.k.isna()].tile.tolist() == [1]
+
+
+def test_lag_lead_per_key_edges():
+    import numpy as np
+    import pyarrow as pa
+
+    from mtb_validation_service_ray.stages.windows import lag_lead_per_key
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, None], pa.int64()),
+        "ts": pa.array([10, 30, 20, 5, 7], pa.int64()),
+        "tie": pa.array(range(5), pa.int64()),
+        "v": pa.array([100, 300, 200, 50, 70], pa.int64()),
+    })
+    out = (
+        lag_lead_per_key(
+            rd.from_arrow(t), key_col="k", ts_col="ts", value_col="v",
+            tiebreak_col="tie", num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values(["ts", "tie"])
+    )
+    k1 = out[out.k == 1].sort_values("ts")
+    assert k1.lag_value.fillna(-1).tolist() == [-1, 100, 200]
+    assert k1.lead_value.fillna(-1).tolist() == [200, 300, -1]
+    assert k1.delta_us.fillna(-1).tolist() == [-1, 10, 10]
+    # singleton and null-key partitions: all edges null
+    assert out[out.k == 2].lag_value.isna().all()
+    assert out[out.k.isna()].lead_value.isna().all()
