@@ -20,7 +20,75 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
+
+
+def default_num_buckets() -> int:
+    import ray
+
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def key_hash_u64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Dtype-STABLE 64-bit hash of an Arrow column for bucketing.
+
+    Nulls are filled with the type's zero in ARROW before the numpy
+    conversion: a nullable int64 column otherwise degrades to float64,
+    and ``hash64(7.0) != hash64(7)`` — the same logical key would land
+    in different buckets depending on whether its batch happened to
+    contain a null (review finding r4).  Null keys share the zero
+    value's bucket; per-bucket grouping (``dropna=False``) still
+    separates them from real zeros."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        zero = pa.scalar("", t)
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        zero = pa.scalar(b"", t)
+    elif pa.types.is_boolean(t):
+        zero = pa.scalar(False, t)
+    else:
+        zero = pa.scalar(0, t)
+    vals = pc.fill_null(col, zero).to_numpy(zero_copy_only=False)
+    from ..functions.sketches import hash64
+
+    return hash64(vals)
+
+
+def append_bucket_column(
+    batch: pa.Table, key_cols: list[str], num_buckets: int
+) -> pa.Table:
+    """The engine's ONE bucket-assignment helper (was copy-pasted per
+    stage; the copies disagreed on null handling — review finding r4)."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in key_cols:
+        h = h * np.uint64(31) + key_hash_u64(batch.column(c))
+    return batch.append_column(
+        "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+    )
+
+def pin_column_types(t: pa.Table, want: dict[str, "pa.DataType"]) -> pa.Table:
+    """Cast ``t``'s columns back to their original Arrow types after a
+    pandas round-trip.  A nullable int64 key degrades to float64 in
+    pandas — the partial-agg output would then HASH differently from
+    clean batches (``hash64(7.0) != hash64(7)``) and split one logical
+    key across buckets (review finding r4).  NaN (the pandas null
+    stand-in) is masked back to null before any float→int cast, which
+    Arrow otherwise refuses."""
+    for c, typ in want.items():
+        if c not in t.column_names:
+            continue
+        col = t.column(c)
+        if col.type == typ:
+            continue
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_floating(arr.type) and not pa.types.is_floating(typ):
+            # NaN is pandas' null stand-in here; float→int/string casts
+            # would fail or stringify it — mask back to null first
+            arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, arr.type), arr)
+        t = t.set_column(t.column_names.index(c), c, arr.cast(typ))
+    return t
+
 
 # (out_name, src_col, kind) with kind ∈ {count, min, max, sum}
 Spec = tuple[str, str, str]
@@ -44,8 +112,6 @@ def bucketed_group_agg(
     already near-unique per row can pass ``partial=False`` to skip the
     wasted pass.  Null keys form their own group (``dropna=False``),
     matching Arrow/Ray semantics."""
-    from ..functions.sketches import hash64
-
     if num_buckets is None:
         import ray
 
@@ -62,28 +128,28 @@ def bucketed_group_agg(
     }
 
     def partial_batch(batch: pa.Table) -> pa.Table:
+        want = {c: batch.schema.field(c).type for c in key_cols}
         g = (
             batch.to_pandas()
             .groupby(key_cols, sort=False, dropna=False)
             .agg(**p_named)
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for c in key_cols:
-            h = h * np.uint64(31) + hash64(
-                batch.column(c).to_numpy(zero_copy_only=False)
-            )
-        return batch.append_column(
-            "_bucket",
-            pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+        return pin_column_types(
+            pa.Table.from_pandas(g, preserve_index=False), want
         )
 
-    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return append_bucket_column(batch, key_cols, num_buckets)
+
+    def reduce_bucket(tbl: pa.Table) -> pa.Table:
+        # pyarrow group format so the TRUE key types survive: a bucket
+        # holding null keys degrades int64→float64 in pandas and would
+        # emit a mismatched block schema
+        want = {c: tbl.schema.field(c).type for c in key_cols}
         g = (
-            group.drop(columns=["_bucket"])
+            tbl.to_pandas()
+            .drop(columns=["_bucket"])
             .groupby(key_cols, sort=False, dropna=False)
             .agg(**f_named)
             .reset_index()
@@ -91,7 +157,9 @@ def bucketed_group_agg(
         for out, _, kind in specs:
             if kind == "count":
                 g[out] = g[out].astype("int64")
-        return g
+        return pin_column_types(
+            pa.Table.from_pandas(g, preserve_index=False), want
+        )
 
     stream = ds
     if partial:
@@ -134,5 +202,5 @@ def bucketed_group_agg(
             add_bucket, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("_bucket")
-        .map_groups(reduce_bucket, batch_format="pandas")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )

@@ -665,71 +665,123 @@ def zscore_per_key(
     (mean, std) table broadcasts once via ``ray.put`` and every batch
     normalizes vectorized — the fact table itself is never shuffled.
 
-    Population std (``STDDEV_POP``); single-row or zero-variance keys
-    and null values yield a null z.  The score is rounded to
-    ``decimals`` so a SQL oracle computing the same expression matches
-    exactly despite summation-order ulp drift."""
+    Population std (``STDDEV_POP``); single-row or zero-variance keys,
+    null values AND null keys yield a null z (the SQL oracle's
+    ``event_type IS NULL THEN NULL`` arm).  Variance accumulates as
+    per-batch centered ``(n, mean, M2)`` partials merged with the
+    parallel (Chan) update — the naive ``E[x²] − mean²`` form
+    catastrophically cancels for large-magnitude values while SQL's
+    STDDEV_POP is stable (review finding r4).  The score is rounded
+    half-AWAY (matching SQL ROUND, not numpy's half-even) to
+    ``decimals`` so the hash compare is exact despite ulp drift."""
     import pyarrow.compute as pc
     import ray
 
-    from .groupagg import bucketed_group_agg
+    from .groupagg import append_bucket_column, default_num_buckets
+
+    key_type = _schema_of(ds).field(key_col).type
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
 
     def moments(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col)
         vals = batch.column(value_col)
-        ok = pc.is_valid(vals)
+        ok = pc.and_(pc.is_valid(vals), pc.is_valid(keys))
         keys, vals = keys.filter(ok), vals.filter(ok)
         v = vals.to_numpy(zero_copy_only=False).astype(np.float64)
-        codes, uniques = pd.factorize(keys.to_pandas(), use_na_sentinel=False)
-        n = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        codes, uniques = pd.factorize(keys.to_pandas())
+        n = np.bincount(codes, minlength=len(uniques)).astype(np.float64)
         s = np.bincount(codes, weights=v, minlength=len(uniques))
-        s2 = np.bincount(codes, weights=v * v, minlength=len(uniques))
+        with np.errstate(invalid="ignore"):
+            mean = np.where(n > 0, s / np.maximum(n, 1), 0.0)
+        # centered second moment per key — stable for any magnitude
+        dev = v - mean[codes]
+        m2 = np.bincount(codes, weights=dev * dev, minlength=len(uniques))
         return pa.table({
-            key_col: pa.Array.from_pandas(pd.Series(uniques)),
-            "_n": pa.array(n), "_s": pa.array(s), "_s2": pa.array(s2),
+            key_col: pa.Array.from_pandas(pd.Series(uniques), type=key_type),
+            "_n": pa.array(n.astype(np.int64)),
+            "_mean": pa.array(mean, pa.float64()),
+            "_m2": pa.array(m2, pa.float64()),
         })
 
-    stats = bucketed_group_agg(
-        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
-        [key_col],
-        [("n", "_n", "sum"), ("s", "_s", "sum"), ("s2", "_s2", "sum")],
-        num_buckets=num_buckets, partial=False,
+    def merge_bucket(group: pd.DataFrame) -> pa.Table:
+        codes, uniques = pd.factorize(group[key_col])
+        order = np.argsort(codes, kind="stable")
+        n_arr = group["_n"].to_numpy()[order].astype(np.float64)
+        mean_arr = group["_mean"].to_numpy()[order]
+        m2_arr = group["_m2"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(codes[order]) != 0])
+        bounds = np.r_[starts, len(codes)]
+        out_n = np.empty(len(starts))
+        out_mean = np.empty(len(starts))
+        out_m2 = np.empty(len(starts))
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            n, mean, m2 = n_arr[lo], mean_arr[lo], m2_arr[lo]
+            for j in range(lo + 1, hi):  # Chan parallel-variance merge
+                nb, mb, qb = n_arr[j], mean_arr[j], m2_arr[j]
+                tot = n + nb
+                delta = mb - mean
+                m2 = m2 + qb + delta * delta * n * nb / tot
+                mean = mean + delta * nb / tot
+                n = tot
+            out_n[gi], out_mean[gi], out_m2[gi] = n, mean, m2
+        with np.errstate(invalid="ignore"):
+            std = np.sqrt(np.maximum(out_m2 / np.maximum(out_n, 1), 0.0))
+        return pa.table({
+            key_col: pa.Array.from_pandas(
+                pd.Series(uniques[codes[order][starts]]), type=key_type
+            ),
+            "_mean": pa.array(out_mean, pa.float64()),
+            "_std": pa.array(std, pa.float64()),
+        })
+
+    stats = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: append_bucket_column(b, [key_col], num_buckets),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
     # per-key stats table: #distinct keys rows — the broadcast side
     tbls = [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows]
     if tbls:
         st = pa.concat_tables(tbls)
-        n = st.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
-        s = st.column("s").to_numpy(zero_copy_only=False)
-        s2 = st.column("s2").to_numpy(zero_copy_only=False)
-        mean = s / n
-        var = np.maximum(s2 / n - mean * mean, 0.0)
-        std = np.sqrt(var)
-        lut = pd.Series(
-            list(zip(mean, std)),
-            index=pd.Index(st.column(key_col).to_pandas()),
-        )
+        key_index = pd.Index(st.column(key_col).to_pandas())
+        means = st.column("_mean").to_numpy(zero_copy_only=False)
+        stds = st.column("_std").to_numpy(zero_copy_only=False)
     else:
-        lut = pd.Series(dtype=object)
-    lut_ref = ray.put(lut)
+        key_index = pd.Index([])
+        means = stds = np.empty(0)
+    lut_ref = ray.put((key_index, means, stds))
 
     def normalize(batch: pa.Table) -> pa.Table:
-        lut = ray.get(lut_ref)
-        keys = batch.column(key_col).to_pandas()
+        key_index, means, stds = ray.get(lut_ref)
+        keys_col = batch.column(key_col)
+        valid_key = pc.is_valid(keys_col).to_numpy(zero_copy_only=False)
+        keys = keys_col.to_pandas()
         v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
             np.float64
         )
-        idx = lut.index.get_indexer(pd.Index(keys))
+        idx = key_index.get_indexer(pd.Index(keys))
         z = np.full(len(v), np.nan)
-        hit = idx >= 0
+        hit = (idx >= 0) & valid_key
         if hit.any():
-            pairs = lut.to_numpy()[idx[hit]]
-            mean = np.array([p[0] for p in pairs])
-            std = np.array([p[1] for p in pairs])
+            mean = means[idx[hit]]
+            std = stds[idx[hit]]
             vv = v[hit]
             with np.errstate(invalid="ignore", divide="ignore"):
                 zz = np.where(std > 0, (vv - mean) / std, np.nan)
-            z[hit] = np.round(zz, decimals)
+            # half-away rounding (SQL ROUND), not numpy's half-even
+            scale = 10.0 ** decimals
+            z[hit] = np.where(
+                np.isnan(zz),
+                np.nan,
+                np.sign(zz) * np.floor(np.abs(zz) * scale + 0.5) / scale,
+            )
         return batch.append_column(out_col, pa.array(z, pa.float64()))
 
     return ds.map_batches(

@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from .groupagg import append_bucket_column
+
 
 def tumbling_window_agg(
     ds: rd.Dataset,
@@ -128,18 +130,15 @@ def session_windows(
     ⇒ still B Python calls)."""
     import numpy as np
 
-    from ..functions.sketches import hash64
-
     if num_buckets is None:
         import ray
 
         num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
-        )
+        # shared helper: null-stable key hashing (a nullable int batch
+        # must not split a key's partition across buckets)
+        return append_bucket_column(batch, [key_col], num_buckets)
 
     def sessionize_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key_col, ts_col], kind="stable")
@@ -290,20 +289,15 @@ def rolling_window_per_key(
     ``rolling`` over the bucket-sorted frame).  Per-key state never
     crosses buckets, so this scales with #keys, bounded per worker by
     the hottest key's row count (same contract as ``session_windows``)."""
-    from ..functions.sketches import hash64
-
     if num_buckets is None:
         import ray
 
         num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "_bucket", pa.array((h % np.uint64(num_buckets)).astype("int32"))
-        )
+        # shared helper: null-stable key hashing (a nullable int batch
+        # must not split a key's partition across buckets)
+        return append_bucket_column(batch, [key_col], num_buckets)
 
     order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
 
@@ -344,20 +338,15 @@ def ranked_window_per_key(
     bucket shuffle, then each bucket ranks all its keys in one
     vectorized pandas body (sort + grouped cumcount/cumsum).  Null
     keys form their own partition (``dropna=False``)."""
-    from ..functions.sketches import hash64
-
     if num_buckets is None:
         import ray
 
         num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "_bucket", pa.array((h % np.uint64(num_buckets)).astype("int32"))
-        )
+        # shared helper: null-stable key hashing (a nullable int batch
+        # must not split a key's partition across buckets)
+        return append_bucket_column(batch, [key_col], num_buckets)
 
     order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
 
@@ -390,20 +379,15 @@ def ntile_per_key(
     ``c`` rows and ``q, r = divmod(c, n)``, the first ``r`` tiles get
     ``q+1`` rows, the rest ``q``.  Null keys tile as their own
     partition."""
-    from ..functions.sketches import hash64
-
     if num_buckets is None:
         import ray
 
         num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "_bucket", pa.array((h % np.uint64(num_buckets)).astype("int32"))
-        )
+        # shared helper: null-stable key hashing (a nullable int batch
+        # must not split a key's partition across buckets)
+        return append_bucket_column(batch, [key_col], num_buckets)
 
     order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
 
@@ -450,20 +434,15 @@ def lag_lead_per_key(
     event; null at partition edges).  Same physical shape as the other
     per-key windows: one key-hash bucket shuffle, vectorized grouped
     ``shift`` per bucket."""
-    from ..functions.sketches import hash64
-
     if num_buckets is None:
         import ray
 
         num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        h = hash64(batch.column(key_col).to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "_bucket", pa.array((h % np.uint64(num_buckets)).astype("int32"))
-        )
+        # shared helper: null-stable key hashing (a nullable int batch
+        # must not split a key's partition across buckets)
+        return append_bucket_column(batch, [key_col], num_buckets)
 
     order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
 

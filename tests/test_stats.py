@@ -227,3 +227,72 @@ def test_zscore_per_key_edges():
     assert np.allclose(got, np.round(exp, 6))
     assert out[out.k == "b"].z.isna().all()  # zero variance
     assert out[out.k == "c"].z.isna().all()  # singleton
+
+
+def test_zscore_per_key_large_magnitude_stable():
+    """Values around 1e8 with unit variance: the centered/Chan-merged
+    moments stay accurate where naive E[x2]-mean^2 would cancel."""
+    from mtb_validation_service_ray.stages.stats import zscore_per_key
+
+    rng = np.random.default_rng(2)
+    v = 1e8 + rng.normal(0.0, 1.0, 20_000)
+    t = pa.table({
+        "k": pa.array(["a"] * 20_000, pa.string()),
+        "v": pa.array(v, pa.float64()),
+    })
+    out = (
+        zscore_per_key(
+            rd.from_arrow(t).repartition(5), "k", "v", num_buckets=3
+        )
+        .to_pandas()
+    )
+    exact = (v - v.mean()) / v.std()
+    got = out.sort_values("v").z.to_numpy()
+    exp = np.sort(exact)
+    assert np.abs(got - exp).max() < 1e-4
+
+
+def test_zscore_null_keys_get_null_z():
+    from mtb_validation_service_ray.stages.stats import zscore_per_key
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, None, None], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+    })
+    out = zscore_per_key(rd.from_arrow(t), "k", "v", num_buckets=2).to_pandas()
+    assert out[out.k.isna()].z.isna().all()
+    assert out[out.k.notna()].z.notna().all()
+
+
+def test_nullable_int_key_does_not_split_partitions():
+    """Regression (review r4): a batch containing a null used to coerce
+    int64 keys to float64, hash differently, and split a key's rows
+    across buckets in every bucketed operator."""
+    from mtb_validation_service_ray.stages.groupagg import bucketed_group_agg
+    from mtb_validation_service_ray.stages.windows import ranked_window_per_key
+
+    clean = pa.table({
+        "k": pa.array([7, 7, 7], pa.int64()),
+        "ts": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([10, 10, 10], pa.int64()),
+    })
+    dirty = pa.table({
+        "k": pa.array([7, None], pa.int64()),
+        "ts": pa.array([4, 5], pa.int64()),
+        "v": pa.array([10, 10], pa.int64()),
+    })
+    ds = rd.from_arrow(clean).union(rd.from_arrow(dirty))
+    # grouped sum: key 7 must reduce to ONE row of 40
+    agg = {
+        r["k"]: r["total"]
+        for r in bucketed_group_agg(
+            ds, ["k"], [("total", "v", "sum")], num_buckets=8
+        ).take_all()
+    }
+    assert agg[7] == 40 and agg[None] == 10
+    # ranked window: key 7's row_num must be a single 1..4 chain
+    ranked = ranked_window_per_key(
+        ds, key_col="k", ts_col="ts", value_col="v", num_buckets=8
+    ).to_pandas()
+    k7 = ranked[ranked.k == 7].sort_values("ts")
+    assert k7.row_num.tolist() == [1, 2, 3, 4]
