@@ -10,7 +10,6 @@ is inherently per-string and cheap.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -94,6 +93,94 @@ def detect_language(col) -> pa.Array:
     return pa.array(out, pa.string())
 
 
+# byte-level polynomial base (FNV64 prime — odd ⇒ invertible mod 2^64)
+_BYTE_P = np.uint64(0x100000001B3)
+_BYTE_P_INV = np.uint64(pow(0x100000001B3, -1, 2**64))
+_LEN_MIX = np.uint64(0xD6E8FEB86659FD93)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain constant set)."""
+    with np.errstate(over="ignore"):
+        x = x ^ (x >> np.uint64(30))
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x = x ^ (x >> np.uint64(27))
+        x = x * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+# per-process scratch arena: first-touch page faults on fresh 100MB+
+# allocations cost ~1 s/pass in this environment; reusing warmed buffers
+# makes the cumprod/cumsum passes pure compute (~14 ns/elem).  Each Ray
+# actor/worker process gets its own arena — no sharing, no locking.
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    a = _SCRATCH.get(name)
+    if a is None or len(a) < size:
+        a = np.empty(int(size * 5 // 4) + 16, dtype)
+        _SCRATCH[name] = a
+    return a[:size]
+
+
+def polyhash_utf8(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Deterministic 64-bit hash per string, computed DIRECTLY over the
+    Arrow UTF-8 buffers — zero per-string Python objects (the former
+    ``pd.util.hash_array`` path materialized every token as a ``str``
+    first, which dominated the MinHash stage — ROADMAP r4 #5).
+
+    h(s) = splitmix64( (Σ_j s[j]·P^j mod 2^64) ⊕ len(s)·C ) with P the
+    odd FNV64 prime.  The position weights come from two cumulative
+    products over the whole buffer (P^t and P^-t) plus one prefix sum:
+    the per-string weighted sum is ``(S[e]-S[s])·P^-s`` — a few
+    O(bytes) C passes total, no loop over strings.  Nulls hash as empty
+    strings (fill upstream if that matters)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off_dtype = (
+        np.int64 if pa.types.is_large_string(col.type) else np.int32
+    )
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    buf = col.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None and len(buf)
+        else np.empty(0, np.uint8)
+    )
+    lo, hi = int(offs[0]), int(offs[-1])
+    m = hi - lo
+    s = offs[:-1] - lo
+    e = offs[1:] - lo
+    with np.errstate(over="ignore"):
+        if m:
+            # weights sized m+1 so an empty LAST string (s == e == m)
+            # still indexes ipows[s] safely
+            pows = _scratch("pows", m + 1, np.uint64)
+            pows[0] = 1
+            pows[1:].fill(_BYTE_P)
+            np.cumprod(pows, out=pows)  # pows[t] = P^t
+            ipows = _scratch("ipows", m + 1, np.uint64)
+            ipows[0] = 1
+            ipows[1:].fill(_BYTE_P_INV)
+            np.cumprod(ipows, out=ipows)  # ipows[t] = P^-t
+            term = _scratch("term", m, np.uint64)
+            np.multiply(data[lo:hi], pows[:m], out=term)
+            prefix = _scratch("prefix", m + 1, np.uint64)
+            prefix[0] = 0
+            np.cumsum(term, out=prefix[1:])
+            poly = (prefix[e] - prefix[s]) * ipows[s]
+        else:
+            poly = np.zeros(n, dtype=np.uint64)
+        x = poly ^ ((e - s).astype(np.uint64) * _LEN_MIX)
+        return _splitmix64(x)
+
+
 def fingerprint64(col) -> pa.Array:
     """Document fingerprint: 64-bit hash of the case/whitespace
     normalized text (rolling-hash family; stable across processes).
@@ -101,9 +188,7 @@ def fingerprint64(col) -> pa.Array:
     whitespace/case."""
     filled = pc.utf8_lower(pc.fill_null(col, ""))
     normalized = pc.replace_substring_regex(filled, r"\s+", " ")
-    arr = normalized.to_numpy(zero_copy_only=False).astype(object)
-    hashes = pd.util.hash_array(arr, categorize=False).astype(np.int64)
-    return pa.array(hashes, pa.int64())
+    return pa.array(polyhash_utf8(normalized).astype(np.int64), pa.int64())
 
 
 # rolling-combination multiplier for word-gram hashes (odd ⇒ invertible
@@ -117,16 +202,15 @@ def shingle_hashes_batch(texts, k: int = 5) -> list[np.ndarray]:
 
     Batched design (VERDICT r2 #6, vectorized further in r4):
     tokenization is Arrow-native (``utf8_lower`` +
-    ``utf8_split_whitespace`` + ``list_flatten`` — Python touches only
-    the rare sub-``k``-token short docs), hashing runs as ONE
-    ``hash_array`` call over every token/char-gram in the batch, and
-    word-gram hashes are a rolling polynomial over consecutive token
-    hashes (vectorized sliding window) instead of joining and hashing
-    gram strings per position.  Gram hash = Σ_j hash(tok[i+j]) · P^j
-    (mod 2^64) — distinct grams collide only at ~2^-64.  Token parity:
-    ``utf8_split_whitespace`` splits on the same Unicode whitespace
-    class as ``str.split()``, so hash values are unchanged from the
-    per-document implementation."""
+    ``utf8_split_whitespace`` + ``list_flatten``), token hashing is
+    ``polyhash_utf8`` straight over the flattened Arrow string buffer —
+    NO token ever becomes a Python object (ROADMAP r4 #5; the former
+    ``pd.util.hash_array`` path built a ``str`` per token and dominated
+    the stage).  Word-gram hashes are a rolling polynomial over
+    consecutive token hashes (vectorized sliding window): gram hash =
+    Σ_j hash(tok[i+j]) · P^j (mod 2^64) — distinct grams collide only
+    at ~2^-64.  Python touches only the rare sub-``k``-token short
+    docs (char-gram fallback)."""
     n_docs = len(texts)
     if n_docs == 0:
         return []
@@ -139,9 +223,20 @@ def shingle_hashes_batch(texts, k: int = 5) -> list[np.ndarray]:
         pc.utf8_trim_whitespace(pc.utf8_lower(arr))
     )
     lens = pc.list_value_length(tok_list).to_numpy(zero_copy_only=False)
-    flat = pc.list_flatten(tok_list).to_numpy(zero_copy_only=False)
+    flat_arr = pc.list_flatten(tok_list)
+    n_flat = len(flat_arr)
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     offsets[1:] = np.cumsum(lens, dtype=np.int64)
+
+    # short docs (< k tokens): char k-grams of the normalized text —
+    # materialize Python strings for THESE docs only
+    short_idx = np.flatnonzero(lens < k)
+    short_strs: dict[int, str] = {}
+    if len(short_idx):
+        joined = pc.binary_join(
+            tok_list.take(pa.array(short_idx, pa.int64())), " "
+        )
+        short_strs = dict(zip(short_idx.tolist(), joined.to_pylist()))
 
     units: list = []  # char grams of short docs, appended after tokens
     spans: list[tuple[int, int, bool]] = []  # (start, n_units, is_words)
@@ -149,21 +244,18 @@ def shingle_hashes_batch(texts, k: int = 5) -> list[np.ndarray]:
         if lens[d] >= k:
             spans.append((offsets[d], lens[d], True))
         else:
-            s = " ".join(flat[offsets[d] : offsets[d + 1]])
+            s = short_strs[d]
             grams = [s[i : i + k] for i in range(max(len(s) - k + 1, 1))]
-            start = len(flat) + len(units)
+            start = n_flat + len(units)
             units.extend(grams)
             spans.append((start, len(grams), False))
-    pool = (
-        np.concatenate([flat, np.array(units, dtype=object)])
-        if units
-        else flat
-    )
-    if len(pool) == 0:
+    if n_flat + len(units) == 0:
         return [np.empty(0, dtype=np.uint64) for _ in texts]
-    h = pd.util.hash_array(
-        np.asarray(pool, dtype=object), categorize=False
-    ).astype(np.uint64)
+    h_tok = polyhash_utf8(flat_arr)
+    if units:
+        h = np.concatenate([h_tok, polyhash_utf8(pa.array(units, pa.string()))])
+    else:
+        h = h_tok
     weights = _GRAM_P ** np.arange(k, dtype=np.uint64)
     out: list[np.ndarray] = []
     for start, n, is_words in spans:
