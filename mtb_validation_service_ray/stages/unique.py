@@ -24,7 +24,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..schema import PARTITION_COL, VIOLATION_SCHEMA, violations_table
 
@@ -82,11 +81,16 @@ def duplicate_id_violations(
     """Violations for every identifier that occurs more than once.
 
     strategy="groupby" (default, lazy): pre-aggregated triples through
-    one Ray hash groupby — composes into lazy validation pipelines.
+    the bucketed reduce (stages/groupagg.py) — composes into lazy
+    validation pipelines.  Identifiers are near-UNIQUE keys, the exact
+    regime where Ray's native sort aggregate pays a per-output-group
+    Python cost (measured ~25 s for 2M int-key groups — ROADMAP r4);
+    the bucketed reduce's per-bucket pandas groupby scales with
+    #buckets instead.
     strategy="hash_actors" (eager): the custom bucket-actor hash reduce
-    (stages/hashreduce.py) — ~3x faster on this hardware (no sort-based
-    Aggregate floor), but consumes the input at call time, so use it for
-    standalone scans, not inside lazily-composed pipelines."""
+    (stages/hashreduce.py) — no sort-based Aggregate floor at all, but
+    consumes the input at call time, so use it for standalone scans,
+    not inside lazily-composed pipelines."""
     triples = ds.map_batches(
         _batch_counts,
         batch_format="pyarrow",
@@ -123,11 +127,34 @@ def duplicate_id_violations(
             batch_format="pyarrow",
         )
     else:
-        agg = triples.repartition(_shuffle_partitions()).groupby(id_col).aggregate(
-            Sum("cnt", alias_name="n"),
-            Min(PARTITION_COL, alias_name="pid_min"),
-            Max(PARTITION_COL, alias_name="pid_max"),
-            Count(alias_name="n_blocks"),
+        from .groupagg import bucketed_group_agg, pin_column_types
+
+        agg = bucketed_group_agg(
+            triples,
+            [id_col],
+            [
+                ("n", "cnt", "sum"),
+                ("pid_min", PARTITION_COL, "min"),
+                ("pid_max", PARTITION_COL, "max"),
+                ("n_blocks", "cnt", "count"),
+            ],
+            # triples are already one row per (id, partition) per batch
+            partial=False,
+        ).map_batches(
+            # an all-null partition column degrades to float64 NaN in
+            # the per-bucket pandas reduce; pin back so _to_violations'
+            # a == b null compare (None == None) stays true
+            lambda t: pin_column_types(
+                t,
+                {
+                    "n": pa.int64(),
+                    "pid_min": pa.int32(),
+                    "pid_max": pa.int32(),
+                    "n_blocks": pa.int64(),
+                },
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     return agg.map_batches(
         _to_violations, batch_format="pyarrow", fn_kwargs={"id_col": id_col}

@@ -67,21 +67,15 @@ def latest_event_per_key(
     .map(maxBy(effectiveDate)), MTBValidators.scala:686-692.)
 
     Partial-aggregate inside map_batches (max-of-maxes, sum-of-counts
-    are re-entrant), coalesce the partial stream, then one shuffle —
-    the raw whole-table groupby paid the sort-exchange floor on every
-    input block.
-
-    The coalesce width is sized from the OBSERVED partial-stream row
-    count, not assumed small (ADVICE r3): with a near-unique key the
-    partial stream is almost the full table, and funneling it into a
-    handful of blocks would lose parallelism and create giant blocks at
-    scale.  The partial stream is materialized first (blocks stay in
-    the object store — the groupby shuffle would materialize them
-    anyway), then repartitioned to ~``target_rows_per_block`` rows per
-    block, capped at #CPUs blocks and never widened."""
-    import math
-
-    import ray
+    are re-entrant), then merge the partial stream with the bucketed
+    reduce (stages/groupagg.py).  The raw whole-table groupby paid the
+    sort-exchange floor on every input block, and the native aggregate
+    additionally pays a per-OUTPUT-GROUP Python cost — fatal when the
+    key is near-unique (measured ~25 s for 2M int-key groups).  The
+    bucketed reduce keeps parallelism at any key cardinality (ADVICE
+    r3: no fixed narrow coalesce) and stays fully lazy — no
+    materialize, no driver-side sizing pass."""
+    from .groupagg import bucketed_group_agg
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by([key_col]).aggregate(
@@ -95,20 +89,14 @@ def latest_event_per_key(
             }
         )
 
-    target_rows_per_block = 500_000
-    cpus = int(ray.cluster_resources().get("CPU", 8))
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    n_parts = max(
-        2,
-        min(cpus, math.ceil(partials.count() / target_rows_per_block)),
     )
-    if n_parts < partials.num_blocks():
-        partials = partials.repartition(n_parts)
-    return partials.groupby(key_col).aggregate(
-        Max("last_ts", alias_name="last_ts"),
-        Sum("n_events", alias_name="n_events"),
+    return bucketed_group_agg(
+        partials,
+        [key_col],
+        [("last_ts", "last_ts", "max"), ("n_events", "n_events", "sum")],
+        partial=False,
     )
 
 
