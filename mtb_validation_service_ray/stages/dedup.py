@@ -868,15 +868,17 @@ def _cc_distributed(
         m = edg.merge(lab, on="key", how="inner")
         return pd.DataFrame({"id": m["id"], "label": m["label"]})
 
-    labels = (
+    from .groupagg import bucketed_group_agg
+
+    labels = bucketed_group_agg(
         edges.map_batches(
             lambda b: pa.table({"id": b.column("val"), "label": b.column("val")}),
             batch_format="pyarrow",
-        )
-        .groupby("id")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+        ),
+        ["id"],
+        [("label", "label", "min")],
+        num_buckets=n_buckets,
+    ).materialize()
 
     def label_sum(ds: rd.Dataset) -> int:
         # per-block partial sums computed IN the cluster; the driver
@@ -920,13 +922,15 @@ def _cc_distributed(
             .map_groups(merge_bucket, batch_format="pandas")
             .map_batches(msgs_to_arrow, batch_format="pyarrow")
         )
-        labels = (
-            labels.union(msgs)
-            .repartition(n_buckets)
-            .groupby("id")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        # label fold via the bucketed reduce: node ids are a
+        # near-unique key, where the native aggregate's per-output-
+        # group cost would dominate EVERY round at scale
+        labels = bucketed_group_agg(
+            labels.union(msgs),
+            ["id"],
+            [("label", "label", "min")],
+            num_buckets=n_buckets,
+        ).materialize()
         cur_sum = label_sum(labels)
         if cur_sum == prev_sum:
             break
