@@ -80,11 +80,22 @@ class SessionShard:
     """Owns the open-session state for its slice of the key space."""
 
     def __init__(self, key_col: str, ts_col: str, gap_seconds: float):
+        import pandas as pd
+
         self.key_col, self.ts_col = key_col, ts_col
         self.gap_us = int(gap_seconds * 1_000_000)
-        # key -> sorted list of disjoint [start_us, last_us, n_events]
-        # intervals, pairwise separated by > gap
-        self.open: dict[str, list[list[int]]] = {}
+        # open intervals as PARALLEL ARRAYS (code → key via key_index):
+        # disjoint per code, pairwise separated by > gap, sorted by
+        # (code, start).  The former dict-of-lists state cost a Python
+        # `_merge` per key per batch plus a full Python scan in
+        # `_close_expired` — the shard hot loop (ROADMAP r4 #3); every
+        # per-batch step below is one lexsort + grouped-cummax chain
+        # merge + reduceat, O(open+batch) vectorized.
+        self.key_index: "pd.Index" = pd.Index([], dtype=object)
+        self.iv_code = np.empty(0, dtype=np.int64)
+        self.iv_start = np.empty(0, dtype=np.int64)
+        self.iv_last = np.empty(0, dtype=np.int64)
+        self.iv_n = np.empty(0, dtype=np.int64)
         self.n_late = 0
         self.n_null_keys = 0
         # max watermark THIS SHARD has seen — lateness and closes must
@@ -93,41 +104,83 @@ class SessionShard:
         # interval another feeder's newer watermark already closed
         self.max_wm_us = _NEG_INF
 
-    def _merge(self, key: str, segs: list[list[int]]) -> None:
-        """Gap-chained interval union: order-independent, so arrival
-        order across batches/feeders cannot change the final result."""
-        ivs = sorted(self.open.get(key, []) + segs)
-        merged: list[list[int]] = []
-        for s0, last, n in ivs:
-            if merged and s0 - merged[-1][1] <= self.gap_us:
-                m = merged[-1]
-                m[1] = max(m[1], last)
-                m[2] += n
-            else:
-                merged.append([s0, last, n])
-        self.open[key] = merged
-
-    def _close_expired(
-        self, watermark_us: int, closed: list[tuple[str, int, int, int]]
+    def _merge_segments(
+        self, seg_code: np.ndarray, seg_s: np.ndarray,
+        seg_e: np.ndarray, seg_n: np.ndarray,
     ) -> None:
+        """Gap-chained interval union of (state ∪ new segments) —
+        order-independent, so arrival order across batches/feeders
+        cannot change the final result.  Fully vectorized, and only the
+        TOUCHED slice of the state (keys present in this batch) enters
+        the sort: untouched open intervals pass through unchanged, so
+        per-batch cost is O(state) boolean masking + O(touched·log)
+        merge, never a re-sort of the whole key space."""
+        touched_lut = np.zeros(len(self.key_index), dtype=bool)
+        touched_lut[seg_code] = True
+        hit = touched_lut[self.iv_code] if len(self.iv_code) else np.empty(0, bool)
+        keep = ~hit
+        code = np.concatenate([self.iv_code[hit], seg_code])
+        start = np.concatenate([self.iv_start[hit], seg_s])
+        last = np.concatenate([self.iv_last[hit], seg_e])
+        cnt = np.concatenate([self.iv_n[hit], seg_n])
+        order = np.lexsort((start, code))
+        code, start, last, cnt = (
+            code[order], start[order], last[order], cnt[order]
+        )
+        # chain rule needs the running max of `last` WITHIN each key:
+        # two interleaved disjoint interval sets can nest (a long open
+        # interval spanning several new segments), so the previous
+        # element's `last` alone is not enough.  Grouped cummax in pure
+        # numpy: remap groups to ranks, offset each rank into its own
+        # value band, one global maximum.accumulate — later bands are
+        # strictly larger, so earlier groups can never leak in.
+        grp_start = np.empty(len(code), dtype=bool)
+        grp_start[0] = True
+        grp_start[1:] = code[1:] != code[:-1]
+        g = np.cumsum(grp_start) - 1
+        base = int(last.min())
+        span = int(last.max()) - base + 1
+        n_groups = int(g[-1]) + 1
+        if n_groups * span < (1 << 62):
+            y = (last - base) + g * span
+            run_max = np.maximum.accumulate(y) - g * span + base
+        else:  # astronomically wide ts range: exact but slower path
+            import pandas as pd
+
+            run_max = (
+                pd.Series(last).groupby(pd.Series(code), sort=False)
+                .cummax().to_numpy()
+            )
+        new_chain = grp_start.copy()
+        new_chain[1:] |= start[1:] > run_max[:-1] + self.gap_us
+        starts_idx = np.flatnonzero(new_chain)
+        self.iv_code = np.concatenate([self.iv_code[keep], code[starts_idx]])
+        self.iv_start = np.concatenate([self.iv_start[keep], start[starts_idx]])
+        self.iv_last = np.concatenate(
+            [self.iv_last[keep], np.maximum.reduceat(last, starts_idx)]
+        )
+        self.iv_n = np.concatenate(
+            [self.iv_n[keep], np.add.reduceat(cnt, starts_idx)]
+        )
+
+    def _close_expired(self, watermark_us: int) -> pa.Table:
         # safe-close rule: any future ACCEPTED event has
         # ts ≥ watermark − gap, and chains to an interval only within
         # gap of either end — so last < watermark − 2·gap is untouchable
         cutoff = watermark_us - 2 * self.gap_us
-        drop = []
-        for k, ivs in self.open.items():
-            keep = []
-            for iv in ivs:
-                if iv[1] < cutoff:
-                    closed.append((k, iv[0], iv[1], iv[2]))
-                else:
-                    keep.append(iv)
-            if keep:
-                self.open[k] = keep
-            else:
-                drop.append(k)
-        for k in drop:
-            del self.open[k]
+        done = self.iv_last < cutoff
+        if not done.any():
+            return _empty_sessions()
+        out = self._to_table(
+            self.iv_code[done], self.iv_start[done],
+            self.iv_last[done], self.iv_n[done],
+        )
+        keep = ~done
+        self.iv_code = self.iv_code[keep]
+        self.iv_start = self.iv_start[keep]
+        self.iv_last = self.iv_last[keep]
+        self.iv_n = self.iv_n[keep]
+        return out
 
     def on_batch(
         self, table: pa.Table, arrival_watermark_us: int, watermark_us: int
@@ -136,7 +189,6 @@ class SessionShard:
         advanced watermark.  Lateness is judged against the watermark AT
         ARRIVAL (before this batch advanced it) — a batch can never make
         its own events late."""
-        closed: list[tuple[str, int, int, int]] = []
         # the shard's clock is monotone over everything it has seen —
         # arrival lateness is judged against it (never a stale feeder
         # watermark), so an accepted event can never chain into an
@@ -153,9 +205,8 @@ class SessionShard:
                 .astype("int64")
             )
             # null keys cannot be sessionized: factorize would code
-            # them -1, colliding with the loop sentinel and silently
-            # gluing their segments onto another key (review finding) —
-            # drop them with an explicit counter instead
+            # them -1, colliding with valid codes downstream (review
+            # finding) — drop them with an explicit counter instead
             null_keys = pd.isna(keys)
             if null_keys.any():
                 self.n_null_keys += int(null_keys.sum())
@@ -165,50 +216,48 @@ class SessionShard:
             if late.any():
                 keys, ts = keys[~late], ts[~late]
             if len(ts):
-                # vectorized segment detection over one (key, ts) sort —
-                # no per-key pandas groupby (it was the shard hot loop):
+                # vectorized segment detection over one (key, ts) sort:
                 # a new segment starts on a key change or an in-batch gap
                 codes, uniq = pd.factorize(keys)
-                order = np.lexsort((ts, codes))
-                c, t = codes[order], ts[order]
+                # keys are registered as STRINGS (the session schema's
+                # key column); coerce uniques once, then re-factorize so
+                # distinct raws colliding as strings merge exactly like
+                # the former str()-keyed dict did
+                codes2, uniq2 = pd.factorize(pd.Index(uniq).astype(str))
+                batch_codes = codes2[codes]
+                gidx = self.key_index.get_indexer(uniq2)
+                miss = gidx == -1
+                if miss.any():
+                    base = len(self.key_index)
+                    self.key_index = self.key_index.append(uniq2[miss])
+                    gidx[miss] = np.arange(base, len(self.key_index))
+                order = np.lexsort((ts, batch_codes))
+                c, t = batch_codes[order], ts[order]
                 start_flag = np.empty(len(c), dtype=bool)
                 start_flag[0] = True
                 start_flag[1:] = (c[1:] != c[:-1]) | ((t[1:] - t[:-1]) > self.gap_us)
                 starts = np.flatnonzero(start_flag)
                 ends = np.concatenate([starts[1:], [len(c)]])
-                seg_key, seg_s, seg_e = c[starts], t[starts], t[ends - 1]
-                seg_n = ends - starts
-                prev = -1
-                segs: list[list[int]] = []
-                for i in range(len(starts)):
-                    k = seg_key[i]
-                    if k != prev and prev != -1:
-                        self._merge(str(uniq[prev]), segs)
-                        segs = []
-                    prev = k
-                    segs.append([int(seg_s[i]), int(seg_e[i]), int(seg_n[i])])
-                if prev != -1:
-                    self._merge(str(uniq[prev]), segs)
+                self._merge_segments(
+                    gidx[c[starts]], t[starts], t[ends - 1],
+                    (ends - starts).astype(np.int64),
+                )
         self.max_wm_us = max(self.max_wm_us, watermark_us)
-        self._close_expired(self.max_wm_us, closed)
-        return self._to_table(closed)
+        return self._close_expired(self.max_wm_us)
 
     def advance(self, watermark_us: int) -> pa.Table:
         """Watermark-only tick for shards that received no rows this
         batch — idle sessions still expire."""
-        closed: list[tuple[str, int, int, int]] = []
         self.max_wm_us = max(self.max_wm_us, watermark_us)
-        self._close_expired(self.max_wm_us, closed)
-        return self._to_table(closed)
+        return self._close_expired(self.max_wm_us)
 
     def flush(self) -> pa.Table:
-        closed = [
-            (k, iv[0], iv[1], iv[2])
-            for k, ivs in sorted(self.open.items())
-            for iv in ivs
-        ]
-        self.open.clear()
-        return self._to_table(closed)
+        out = self._to_table(self.iv_code, self.iv_start, self.iv_last, self.iv_n)
+        self.iv_code = np.empty(0, dtype=np.int64)
+        self.iv_start = np.empty(0, dtype=np.int64)
+        self.iv_last = np.empty(0, dtype=np.int64)
+        self.iv_n = np.empty(0, dtype=np.int64)
+        return out
 
     def late_count(self) -> int:
         return self.n_late
@@ -216,20 +265,20 @@ class SessionShard:
     def null_key_count(self) -> int:
         return self.n_null_keys
 
-    @staticmethod
-    def _to_table(closed) -> pa.Table:
-        if not closed:
+    def _to_table(
+        self, code: np.ndarray, start: np.ndarray,
+        last: np.ndarray, n: np.ndarray,
+    ) -> pa.Table:
+        if len(code) == 0:
             return _empty_sessions()
         return pa.table(
             {
-                "key": pa.array([c[0] for c in closed], pa.string()),
-                "session_start": pa.array(
-                    np.array([c[1] for c in closed], dtype="datetime64[us]")
+                "key": pa.array(
+                    self.key_index.take(code).to_numpy(), pa.string()
                 ),
-                "session_end": pa.array(
-                    np.array([c[2] for c in closed], dtype="datetime64[us]")
-                ),
-                "n_events": pa.array([c[3] for c in closed], pa.int64()),
+                "session_start": pa.array(start.astype("datetime64[us]")),
+                "session_end": pa.array(last.astype("datetime64[us]")),
+                "n_events": pa.array(n, pa.int64()),
             },
             schema=SESSION_SCHEMA,
         )
@@ -250,10 +299,13 @@ class StreamResult:
 
 
 def _default_num_shards() -> int:
-    # shards are the throughput axis (each owns a key-space slice and
-    # does the vectorized folds); zero-CPU actors, so one per core is
-    # fine — measured 1M events: 4 shards 73k ev/s, 8 → 153k, 16 → 241k
-    return max(2, min(int(ray.cluster_resources().get("CPU", 8)), 16))
+    # shards are the STATE-CAPACITY axis (each owns a key-space slice);
+    # after the r4 array-state fold the per-event compute is so cheap
+    # that more shards mostly mean smaller per-call slices — 4-8 shards
+    # measured FASTER than 16 on a 1M-event log (504k vs 354k ev/s at
+    # batch_size=64k).  Default to a modest count; raise it when open-
+    # key state per shard, not wall time, is the concern.
+    return max(2, min(int(ray.cluster_resources().get("CPU", 8)), 8))
 
 
 def _route_batch(
@@ -514,7 +566,7 @@ def stream_sessions_distributed(
     allowed_lateness_seconds: float | None = None,
     num_shards: int | None = None,
     num_feeders: int = 4,
-    batch_size: int = 4096,
+    batch_size: int = 16384,
     max_inflight: int = 16,
     spill_rows: int = 100_000,
     output_dir: str | None = None,
@@ -523,13 +575,17 @@ def stream_sessions_distributed(
     reader tasks stream disjoint splits straight into the shard actors.
     The driver only launches feeders and merges results.
 
-    Scaling axes, measured on a 1M-event log (BASELINE.md): throughput
-    scales with SHARD count (4→16 shards ≈ 3.3×; asserted in tests) —
-    the shards own the per-key folds and are the compute. Routing is
-    ~0.1 s per 250k events per feeder, so a single feeder saturates
-    only beyond ~2.5M ev/s; multiple feeders exist for the regime where
-    SOURCE I/O dominates (remote storage, many files) and for
-    multi-node ingest, not for routing CPU.
+    Scaling axes, measured on a 1M-event log (BASELINE.md): after the
+    r4 array-state shard fold the per-event compute is no longer the
+    bottleneck — 4 feeders / 4 shards sustain ~500k ev/s at
+    ``batch_size=65536`` (vs ~240k for the old per-key-Python fold at
+    its best shard count), and ADDING shards now mostly shrinks
+    per-call slices (16 shards ≈ 354k ev/s).  Shard count is the
+    STATE-capacity axis: size it to bound open-interval state per
+    actor, not to buy wall time.  Feeder count remains the source-I/O
+    axis (remote storage, many files, multi-node ingest).  Larger
+    ``batch_size`` amortizes per-call overhead at the cost of coarser
+    watermark granularity.
 
     ``allowed_lateness_seconds=None`` (default) disables late drops:
     every event is accepted and the result is EXACTLY the offline
