@@ -102,7 +102,7 @@ def ensure_bench_images(n: int, seed: int = SEED, *, skew: bool = False) -> str:
     from mtb_validation_service_ray.sources.fixtures import rows_for_indices
 
     suffix = "_skew" if skew else ""
-    d = os.path.join("/tmp", f"mtbray_bench_images_v3_n{n}_s{seed}{suffix}")
+    d = os.path.join("/tmp", f"mtbray_bench_images_v4_n{n}_s{seed}{suffix}")
     marker = os.path.join(d, "_complete")
     if os.path.exists(marker):
         return d

@@ -185,37 +185,12 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def phash(px: np.ndarray) -> int:
-    """64-bit average hash of 8×8 box-downsampled luminance (signed int64)."""
-    lum = px.astype(np.float64).mean(axis=2)
-    if lum.shape[0] < 8:
-        lum = np.repeat(lum, -(-8 // lum.shape[0]), axis=0)
-    if lum.shape[1] < 8:
-        lum = np.repeat(lum, -(-8 // lum.shape[1]), axis=1)
-    h, w = lum.shape
-    # integral image → exact box means for arbitrary (h, w)
-    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
-    integral[1:, 1:] = lum.cumsum(0).cumsum(1)
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    cells = (
-        integral[np.ix_(ys[1:], xs[1:])]
-        - integral[np.ix_(ys[:-1], xs[1:])]
-        - integral[np.ix_(ys[1:], xs[:-1])]
-        + integral[np.ix_(ys[:-1], xs[:-1])]
-    )
-    areas = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
-    means = cells / areas
-    # tie epsilon: integral-image float rounding must not turn a
-    # constant image into random bits
-    bits = (means > np.median(means) + 1e-6).astype(np.uint64).ravel()
-    value = np.uint64(0)
-    for bit in bits:
-        value = (value << np.uint64(1)) | bit
-    # constant images hash to all-bits-off; 0 is reserved as the
-    # R-RG-PHASH forbidden sentinel, so remap to the canonical non-zero
-    # constant-image hash (1) — deterministic and shared by all constant
-    # images, so dup-grouping still clusters them
-    return int(np.int64(value)) or 1
+    """64-bit average hash of 8×8 box-downsampled luminance (signed
+    int64).  Single-image wrapper over ``_phash_batch_inner`` — ONE
+    source of truth for the bit layout (r4: the former separate scalar
+    path duplicated the kernel and was slower than the batch path even
+    per image)."""
+    return int(_phash_batch_inner(px[None, ...])[0])
 
 
 def phash_batch(stack: np.ndarray, _chunk: int = 64) -> np.ndarray:
@@ -232,31 +207,35 @@ def phash_batch(stack: np.ndarray, _chunk: int = 64) -> np.ndarray:
 
 
 def _phash_batch_inner(stack: np.ndarray) -> np.ndarray:
+    """8×8 box sums via two ``add.reduceat`` passes over EXACT integer
+    channel sums (r4; previously a float64 integral image, whose cumsum
+    rounding both cost ~2× the memory traffic and made near-tie bits
+    depend on summation order).  means = cells / (3·area) — one float
+    division at the very end."""
     n, h, w, _ = stack.shape
-    lum = stack.astype(np.float64).mean(axis=3)
+    lum = stack.sum(axis=3, dtype=np.int32)  # ≤ 765 per pixel: exact
     if h < 8:
         lum = np.repeat(lum, -(-8 // h), axis=1)
         h = lum.shape[1]
     if w < 8:
         lum = np.repeat(lum, -(-8 // w), axis=2)
         w = lum.shape[2]
-    integral = np.zeros((n, h + 1, w + 1), dtype=np.float64)
-    integral[:, 1:, 1:] = lum.cumsum(axis=1).cumsum(axis=2)
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    cells = (
-        integral[:, ys[1:][:, None], xs[1:][None, :]]
-        - integral[:, ys[:-1][:, None], xs[1:][None, :]]
-        - integral[:, ys[1:][:, None], xs[:-1][None, :]]
-        + integral[:, ys[:-1][:, None], xs[:-1][None, :]]
-    )
+    rows = np.add.reduceat(lum, ys[:-1], axis=1, dtype=np.int64)
+    cells = np.add.reduceat(rows, xs[:-1], axis=2, dtype=np.int64)
     areas = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
-    means = (cells / areas).reshape(n, 64)
+    means = (cells / (3.0 * areas)).reshape(n, 64)
     medians = np.median(means, axis=1, keepdims=True)
-    bits = (means > medians + 1e-6).astype(np.uint64)  # tie epsilon, see phash
+    # tie epsilon: float division rounding must not turn a constant
+    # image into random bits
+    bits = (means > medians + 1e-6).astype(np.uint64)
     weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
     values = (bits * weights).sum(axis=1, dtype=np.uint64)
-    # keep in lockstep with ``phash``: 0 (constant image) → canonical 1
+    # constant images hash to all-bits-off; 0 is reserved as the
+    # R-RG-PHASH forbidden sentinel, so remap to the canonical non-zero
+    # constant-image hash (1) — deterministic and shared by all constant
+    # images, so dup-grouping still clusters them
     return np.where(values == 0, np.uint64(1), values).astype(np.int64)
 
 

@@ -2096,7 +2096,7 @@ _IMAGE_FIXTURE_ROWS = 1500
 
 def _image_fixture_dirname(n: int = _IMAGE_FIXTURE_ROWS, seed: int = 42) -> str:
     """Pure path computation — safe at import time (no generation)."""
-    return os.path.join(tempfile.gettempdir(), f"mtbray_images_v3_n{n}_s{seed}")
+    return os.path.join(tempfile.gettempdir(), f"mtbray_images_v4_n{n}_s{seed}")
 
 
 @functools.lru_cache(maxsize=4)
@@ -2362,7 +2362,7 @@ _CORRUPT_FIXTURE_ROWS = 1500
 def _corrupt_fixture_pathname(n: int = _CORRUPT_FIXTURE_ROWS, seed: int = 42) -> str:
     """Pure path computation — safe at import time (no generation)."""
     return os.path.join(
-        tempfile.gettempdir(), f"mtbray_corrupt_v4_n{n}_s{seed}", "images.parquet"
+        tempfile.gettempdir(), f"mtbray_corrupt_v5_n{n}_s{seed}", "images.parquet"
     )
 
 

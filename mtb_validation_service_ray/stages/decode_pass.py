@@ -128,14 +128,12 @@ class DecodePass:
                     by_dims.setdefault(px.shape[:2], []).append((i, px))
                 for items in by_dims.values():
                     idx_arr = np.array([i for i, _ in items])
-                    if len(items) >= 8:  # batch pays off on the hot mode
-                        recomputed = codec.phash_batch(
-                            np.stack([px for _, px in items])
-                        )
-                    else:  # long-tail dims: scalar path is cheaper
-                        recomputed = np.array(
-                            [codec.phash(px) for _, px in items], dtype=np.int64
-                        )
+                    # always the batch kernel: since the r4 integer
+                    # reduceat rewrite it beats the scalar path even at
+                    # n=1, so the long-tail-dims fork is gone
+                    recomputed = codec.phash_batch(
+                        np.stack([px for _, px in items])
+                    )
                     stored = np.array([phashes[i] for i in idx_arr], dtype=np.int64)
                     dists = codec.hamming64_batch(recomputed, stored)
                     budgets = np.array(
