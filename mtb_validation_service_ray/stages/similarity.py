@@ -147,6 +147,7 @@ def cosine_near_dups(
     strategy: str = "auto",
     lsh_bits: int | None = None,
     lsh_chunks: int = 6,
+    multiprobe_bits: int = 0,
     seed: int = 13,
     batch_size: int = 4096,
     broadcast_max_rows: int = 1_000_000,
@@ -185,6 +186,17 @@ def cosine_near_dups(
     against chunk width: P(candidate) ≈ 1 − (1 − p^b)^c with
     p = 1 − θ/π; widen ``lsh_chunks`` to buy recall at the cost of one
     extra (id, embedding) shuffle copy per chunk.
+
+    ``multiprobe_bits=q`` (ROADMAP r4; default off) additionally emits,
+    per chunk, ``q`` replica signatures with the vector's q LOWEST-
+    MARGIN bits flipped (the projections closest to the hyperplane —
+    the bits a true near-dup is most likely to disagree on).  A pair
+    differing in one uncertain bit of a chunk then still collides, so
+    multiprobe buys most of an extra chunk's recall at the same number
+    of chunks; cost is (1+q)× rows (embedding payload included) into
+    the bucket shuffle.  Verification stays exact, and cross-bucket
+    duplicate candidates collapse in the final pair reduce, so
+    multiprobe changes recall only, never precision.
     strategy="auto" (default): gated switch — broadcast only while BOTH
     the vector count fits ``broadcast_max_rows`` AND the normalized
     float64 matrix (``n_rows × dim × 8``) fits ``broadcast_max_bytes``,
@@ -272,24 +284,47 @@ def cosine_near_dups(
     def signatures(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         m = _normalize(_batch_matrix(batch, embedding_col))
-        bits = np.ascontiguousarray((m @ pl) > 0)
+        proj = m @ pl
+        bits = np.ascontiguousarray(proj > 0)
         tables = []
+        weights = (1 << np.arange(chunk_bits, dtype=np.uint64)).astype(np.uint64)
         for c in range(lsh_chunks):
             # pack this chunk's bit-slice straight to its value —
             # chunk_bits can exceed 64/lsh_chunks, so no shared int64 sig
             sl = bits[:, c * chunk_bits : (c + 1) * chunk_bits]
-            weights = (1 << np.arange(chunk_bits, dtype=np.uint64)).astype(np.uint64)
             chunk = (sl.astype(np.uint64) @ weights).astype(np.int64)
+            chunk_col = pa.array(chunk, pa.int64())
             tables.append(
                 pa.table(
                     {
                         id_col: batch.column(id_col),
                         embedding_col: batch.column(embedding_col),
                         "chunk_id": pa.array(np.full(len(m), c, dtype=np.int32)),
-                        "chunk_val": pa.array(chunk, pa.int64()),
+                        "chunk_val": chunk_col,
                     }
                 )
             )
+            if multiprobe_bits:
+                # flip the q lowest-|projection| bits, one replica each
+                margins = np.abs(
+                    proj[:, c * chunk_bits : (c + 1) * chunk_bits]
+                )
+                q = min(multiprobe_bits, chunk_bits)
+                low = np.argpartition(margins, q - 1, axis=1)[:, :q]
+                for p in range(q):
+                    flipped = chunk ^ (1 << low[:, p].astype(np.int64))
+                    tables.append(
+                        pa.table(
+                            {
+                                id_col: batch.column(id_col),
+                                embedding_col: batch.column(embedding_col),
+                                "chunk_id": pa.array(
+                                    np.full(len(m), c, dtype=np.int32)
+                                ),
+                                "chunk_val": pa.array(flipped, pa.int64()),
+                            }
+                        )
+                    )
         return pa.concat_tables(tables)
 
     def add_bucket(batch: pa.Table) -> pa.Table:

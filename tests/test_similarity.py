@@ -226,3 +226,52 @@ def test_ivf_centroid_sample_unbiased_on_sorted_input():
         rd.from_arrow(t), q, k=5, n_cells=4, n_probe=2, sample_size=500
     )
     assert approx.equals(again)
+
+
+def test_lsh_multiprobe_recovers_recall():
+    """ROADMAP r4: probing the q lowest-margin flipped bits per chunk
+    must strictly widen the candidate set (deterministic superset under
+    the pinned seed) and materially lift recall on planted near-dups,
+    while exact in-bucket verification keeps precision at 1."""
+    from mtb_validation_service_ray.stages.similarity import cosine_near_dups
+
+    rng = np.random.default_rng(5)
+    n_base, n_pairs, dim = 1500, 80, 32
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    src = base[:n_pairs]
+    noise = rng.normal(size=(n_pairs, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    dup = src + 0.29 * noise
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    cos = (src * dup).sum(1)
+    vecs = np.vstack([base, dup])
+    ids = [f"v{i:05d}" for i in range(len(vecs))]
+    truth = {
+        (f"v{i:05d}", f"v{n_base + i:05d}")
+        for i in range(n_pairs)
+        if cos[i] >= 0.95
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4).materialize()
+
+    def run(q):
+        out = cosine_near_dups(
+            ds, threshold=0.95, strategy="lsh", lsh_bits=48, lsh_chunks=3,
+            multiprobe_bits=q, seed=13,
+        ).to_pandas()
+        assert (out.cosine >= 0.95).all()  # exact verification
+        return set(zip(out.id_a, out.id_b))
+
+    got0, got2 = run(0), run(2)
+    # original buckets are unchanged by probing: strict superset
+    assert got0 <= got2
+    r0 = len(got0 & truth) / len(truth)
+    r2 = len(got2 & truth) / len(truth)
+    assert r2 > r0
+    assert r2 >= 0.85, (r0, r2)
