@@ -316,6 +316,25 @@ def _route_batch(
     return shard, np.unique(shard)
 
 
+def _split_batch(
+    batch: pa.Table, key_col: str, n: int
+) -> list[tuple[int, pa.Table]]:
+    """Split one batch into per-shard slices with ONE stable sort +
+    take, then zero-copy slices — the former per-shard ``filter`` made
+    #shards full passes over the batch and was the feeder's routing
+    cost (ROADMAP r4 #4).  Stable order preserves within-shard arrival
+    order, so results are unchanged."""
+    shard, _ = _route_batch(batch, key_col, n)
+    order = np.argsort(shard, kind="stable")
+    sorted_batch = batch.take(pa.array(order))
+    bounds = np.searchsorted(shard[order], np.arange(n + 1))
+    return [
+        (s, sorted_batch.slice(bounds[s], bounds[s + 1] - bounds[s]))
+        for s in range(n)
+        if bounds[s + 1] > bounds[s]
+    ]
+
+
 class StreamingSessionizer:
     """Driver-side coordinator: route event batches to shard actors and
     advance the watermark.  ``feed`` any number of Arrow batches (a live
@@ -347,7 +366,7 @@ class StreamingSessionizer:
     def feed(self, batch: pa.Table) -> None:
         if batch.num_rows == 0:
             return
-        shard, hit = _route_batch(batch, self.key_col, self.n)
+        slices = _split_batch(batch, self.key_col, self.n)
         ts = (
             batch.column(self.ts_col)
             .cast(pa.timestamp("us"))
@@ -359,12 +378,10 @@ class StreamingSessionizer:
         # as it stood on arrival
         arrival_wm = self.watermark_us
         self.watermark_us = max(self.watermark_us, int(ts.max()) - self.lateness_us)
-        hit_set = set(int(s) for s in hit)
+        hit_set = {s for s, _ in slices}
         refs = [
-            self.shards[s].on_batch.remote(
-                batch.filter(pa.array(shard == s)), arrival_wm, self.watermark_us
-            )
-            for s in hit_set
+            self.shards[s].on_batch.remote(sl, arrival_wm, self.watermark_us)
+            for s, sl in slices
         ]
         # shards with no rows this batch still see the watermark advance
         refs.extend(
@@ -529,12 +546,9 @@ def _feeder(
             # reported max is safe by construction; it merely lags one
             # inflight window, which is the usual watermark trade.
             wm = ray.get(wm_actor.update.remote(feeder_id, acked_max))
-        shard, hit = _route_batch(batch, key_col, n)
         batch_max = int(ts.max())
-        for s in hit:
-            ref = shards[int(s)].on_batch.remote(
-                batch.filter(pa.array(shard == int(s))), arrival_wm, wm
-            )
+        for s, sl in _split_batch(batch, key_col, n):
+            ref = shards[s].on_batch.remote(sl, arrival_wm, wm)
             inflight.append(ref)
             inflight_max[ref] = batch_max
         n_rows += batch.num_rows
