@@ -1895,6 +1895,23 @@ def q_events_zscore_per_type(sf_dir: str):
     ).sort_by([("event_id", "ascending")])
 
 
+def q_events_robust_scale(sf_dir: str):
+    """Per-key robust (median/IQR) normalization — the outlier-tolerant
+    twin of the z-score lane: exact rank-selection quantiles per key
+    (every cutpoint a real data element, so the SQL row_number oracle
+    matches exactly), broadcast (median, IQR), vectorized normalize;
+    the fact table is never shuffled."""
+    from ..stages.stats import robust_scale_per_key
+
+    out = robust_scale_per_key(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value",
+    )
+    return _as_table(
+        out.select_columns(["event_id", "event_type", "r"])
+    ).sort_by([("event_id", "ascending")])
+
+
 def q_sample_orders_bottomk(sf_dir: str):
     """Exact-size deterministic sample: the 500 orders with the
     globally smallest Knuth-hashed orderkey — per-batch local bottom-k,
@@ -2864,6 +2881,7 @@ QUERIES = {
     "sample_orders_hash": q_sample_orders_hash,
     "sample_orders_bottomk": q_sample_orders_bottomk,
     "events_zscore_per_type": q_events_zscore_per_type,
+    "events_robust_scale": q_events_robust_scale,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "tdigest_quantiles_per_type": q_tdigest_quantiles_per_type,
     "events_pivot_user_type": q_events_pivot_user_type,
@@ -3074,6 +3092,33 @@ ORACLE_SQL["events_zscore_per_type"] = """
            END AS z
     FROM events
     WINDOW w AS (PARTITION BY event_type)
+    ORDER BY event_id"""
+
+ORACLE_SQL["events_robust_scale"] = """
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), q AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT))
+                        THEN value END) AS q1,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.50 * n) AS BIGINT))
+                        THEN value END) AS med,
+               MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.75 * n) AS BIGINT))
+                        THEN value END) AS q3
+        FROM r GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN e.value IS NULL OR e.event_type IS NULL
+                     OR q.event_type IS NULL OR q.q3 - q.q1 = 0
+                THEN NULL
+                ELSE ROUND((e.value - q.med) / (q.q3 - q.q1), 6)
+           END AS r
+    FROM events e LEFT JOIN q ON e.event_type = q.event_type
     ORDER BY event_id"""
 
 ORACLE_SQL["sample_orders_bottomk"] = """

@@ -787,3 +787,80 @@ def zscore_per_key(
     return ds.map_batches(
         normalize, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def robust_scale_per_key(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    *,
+    out_col: str = "r",
+    decimals: int = 6,
+) -> rd.Dataset:
+    """Per-key robust (median/IQR) normalization — the outlier-tolerant
+    twin of ``zscore_per_key``: (1) exact per-key quantiles by rank
+    selection (``grouped_quantiles`` — discrete, so every cutpoint is a
+    real data element and a SQL row_number oracle matches exactly),
+    (2) the tiny per-key (median, IQR) table broadcasts via ``ray.put``
+    and every batch normalizes vectorized — the fact table itself is
+    never shuffled.
+
+    Null key/value, unseen keys (all-null groups) and IQR == 0 yield a
+    null score.  Same key-cardinality contract as ``grouped_quantiles``
+    (each key's values shuffle to one worker): meant for categorical
+    keys, not near-unique ones.  Rounded half-AWAY to ``decimals`` like
+    the z-score, so hash compares are exact."""
+    import pyarrow.compute as pc
+    import ray
+
+    key_type = _schema_of(ds).field(key_col).type
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(key_col)),
+            pc.is_valid(batch.column(value_col)),
+        )
+        return batch.select([key_col, value_col]).filter(ok)
+
+    q = grouped_quantiles(
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+        key_col=key_col,
+        value_col=value_col,
+        qs=(0.25, 0.5, 0.75),
+    ).to_pandas()
+    if len(q):
+        wide = q.pivot_table(index=key_col, columns="q", values="value")
+        key_index = pd.Index(wide.index)
+        med = wide[0.5].to_numpy(dtype=np.float64)
+        iqr = (wide[0.75] - wide[0.25]).to_numpy(dtype=np.float64)
+    else:
+        key_index = pd.Index([])
+        med = iqr = np.empty(0)
+    lut_ref = ray.put((key_index, med, iqr))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        key_index, med, iqr = ray.get(lut_ref)
+        keys_col = batch.column(key_col)
+        valid_key = pc.is_valid(keys_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        idx = key_index.get_indexer(pd.Index(keys_col.to_pandas()))
+        r = np.full(len(v), np.nan)
+        hit = (idx >= 0) & valid_key
+        if hit.any():
+            m, w = med[idx[hit]], iqr[idx[hit]]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rr = np.where(w > 0, (v[hit] - m) / w, np.nan)
+            scale = 10.0 ** decimals
+            # half-away rounding (SQL ROUND), not numpy's half-even
+            r[hit] = np.where(
+                np.isnan(rr),
+                np.nan,
+                np.sign(rr) * np.floor(np.abs(rr) * scale + 0.5) / scale,
+            )
+        return batch.append_column(out_col, pa.array(r, pa.float64()))
+
+    return ds.map_batches(
+        normalize, batch_format="pyarrow", zero_copy_batch=True
+    )

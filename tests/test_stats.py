@@ -296,3 +296,30 @@ def test_nullable_int_key_does_not_split_partitions():
     ).to_pandas()
     k7 = ranked[ranked.k == 7].sort_values("ts")
     assert k7.row_num.tolist() == [1, 2, 3, 4]
+
+
+def test_robust_scale_per_key_edges():
+    """Zero-IQR keys, null keys/values, and all-null groups yield null;
+    normal keys match the (v - median) / IQR formula exactly."""
+    from mtb_validation_service_ray.stages.stats import robust_scale_per_key
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 3 + [None, "a", "c"], pa.string()),
+        "v": pa.array(
+            [1.0, 2.0, 3.0, 4.0, 5.0] + [7.0, 7.0, 7.0] + [9.0, None, None],
+            pa.float64(),
+        ),
+    })
+    out = (
+        robust_scale_per_key(rd.from_arrow(t).repartition(3), "k", "v")
+        .to_pandas()
+    )
+    a = out[(out.k == "a") & out.v.notna()].sort_values("v")
+    # a: sorted [1..5], q1 = rank ceil(.25*5)=2 -> 2.0, med = rank 3 ->
+    # 3.0, q3 = rank ceil(.75*5)=4 -> 4.0, IQR = 2
+    exp = (a.v.to_numpy() - 3.0) / 2.0
+    assert np.allclose(a.r.to_numpy(), np.round(exp, 6))
+    assert out[out.k == "b"].r.isna().all()      # zero IQR
+    assert out[out.k.isna()].r.isna().all()      # null key
+    assert out[(out.k == "a") & out.v.isna()].r.isna().all()  # null value
+    assert out[out.k == "c"].r.isna().all()      # all-null group: unseen
