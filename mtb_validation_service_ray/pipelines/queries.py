@@ -1912,6 +1912,33 @@ def q_events_robust_scale(sf_dir: str):
     ).sort_by([("event_id", "ascending")])
 
 
+def q_events_percent_rank(sf_dir: str):
+    """SQL PERCENT_RANK / CUME_DIST per key over value order — exact
+    tie semantics (min-rank / max-rank ratios of integers), one
+    key-hash bucket shuffle; null key/value rows excluded like the
+    oracle's filtered window subquery."""
+    from ..stages.windows import percent_rank_per_key
+
+    out = percent_rank_per_key(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        key_col="event_type", value_col="value",
+    )
+    return _as_table(out).sort_by([("event_id", "ascending")])
+
+
+def q_events_argmax_row(sf_dir: str):
+    """Full-row grouped arg-max: each user's entire latest event row
+    (ts DESC, event_id DESC tiebreak) — partial per-batch argmax, one
+    bucketed reduce; the shuffle carries ≤ one row per (key, batch)."""
+    from ..stages.windows import argmax_row_per_key
+
+    out = argmax_row_per_key(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        key_col="user_id", order_col="ts", tiebreak_col="event_id",
+    )
+    return _as_table(out).sort_by([("user_id", "ascending")])
+
+
 def q_sample_orders_bottomk(sf_dir: str):
     """Exact-size deterministic sample: the 500 orders with the
     globally smallest Knuth-hashed orderkey — per-batch local bottom-k,
@@ -2882,6 +2909,8 @@ QUERIES = {
     "sample_orders_bottomk": q_sample_orders_bottomk,
     "events_zscore_per_type": q_events_zscore_per_type,
     "events_robust_scale": q_events_robust_scale,
+    "events_percent_rank": q_events_percent_rank,
+    "events_argmax_row": q_events_argmax_row,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "tdigest_quantiles_per_type": q_tdigest_quantiles_per_type,
     "events_pivot_user_type": q_events_pivot_user_type,
@@ -3093,6 +3122,24 @@ ORACLE_SQL["events_zscore_per_type"] = """
     FROM events
     WINDOW w AS (PARTITION BY event_type)
     ORDER BY event_id"""
+
+ORACLE_SQL["events_percent_rank"] = """
+    SELECT event_id, event_type, value,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    ORDER BY event_id"""
+
+ORACLE_SQL["events_argmax_row"] = """
+    SELECT event_id, user_id, ts, value FROM (
+        SELECT event_id, user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ) WHERE rn = 1 ORDER BY user_id"""
 
 ORACLE_SQL["events_robust_scale"] = """
     WITH r AS (

@@ -464,3 +464,124 @@ def lag_lead_per_key(
         .groupby("_bucket")
         .map_groups(shift_bucket, batch_format="pandas")
     )
+
+
+def percent_rank_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``PERCENT_RANK()`` and ``CUME_DIST()`` over
+    ``(PARTITION BY key ORDER BY value)`` — rank-based feature scaling.
+    Ties follow SQL semantics exactly: percent_rank uses the MIN rank
+    of the tie group over (n−1), cume_dist the MAX rank over n, so both
+    are ratios of integers and hash-compare exactly against the oracle.
+    Rows with a null key or value are EXCLUDED from the output (the SQL
+    analog windows over a ``WHERE value IS NOT NULL`` subquery); a
+    single-row key gets percent_rank 0.  Same physical shape as the
+    other per-key windows: one key-hash bucket shuffle, one vectorized
+    pandas body per bucket."""
+    import numpy as np
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(key_col)),
+            pc.is_valid(batch.column(value_col)),
+        )
+        return batch.filter(ok)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return append_bucket_column(batch, [key_col], num_buckets)
+
+    def rank_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=["_bucket"]).reset_index(drop=True)
+        gb = g.groupby(key_col, sort=False)
+        rmin = gb[value_col].rank(method="min").to_numpy()
+        rmax = gb[value_col].rank(method="max").to_numpy()
+        n = gb[key_col].transform("size").to_numpy().astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.where(n > 1, (rmin - 1) / (n - 1), 0.0)
+        g["pr"] = pr
+        g["cd"] = rmax / n
+        return g
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def argmax_row_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Full-row grouped arg-max: each key's ENTIRE row at the maximum
+    ``(order_col, tiebreak_col)`` — the SQL ``row_number() OVER
+    (PARTITION BY key ORDER BY order DESC, tiebreak DESC) = 1`` pattern
+    (``latest_event_per_key`` keeps only (max ts, count); this keeps
+    the payload columns).  Distributed as partial-argmax inside each
+    batch (per-key tail of a vectorized sort — max-of-maxes is
+    re-entrant) then one bucketed reduce, so the shuffle carries at
+    most one row per (key, batch).  Rows with a null key or null order
+    value are excluded; without ``tiebreak_col`` ties resolve
+    arbitrarily (pass one for determinism)."""
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    order = [key_col, order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(key_col)),
+            pc.is_valid(batch.column(order_col)),
+        )
+        batch = batch.filter(ok)
+        if batch.num_rows == 0:
+            return batch
+        g = (
+            batch.to_pandas()
+            .sort_values(order, kind="stable")
+            .groupby(key_col, sort=False)
+            .tail(1)
+        )
+        return pa.Table.from_pandas(
+            g, schema=batch.schema, preserve_index=False
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return append_bucket_column(batch, [key_col], num_buckets)
+
+    def reduce_bucket(tbl: pa.Table) -> pa.Table:
+        want = tbl.schema
+        idx = want.get_field_index("_bucket")
+        want = want.remove(idx)
+        g = (
+            tbl.to_pandas()
+            .drop(columns=["_bucket"])
+            .sort_values(order, kind="stable")
+            .groupby(key_col, sort=False)
+            .tail(1)
+        )
+        return pa.Table.from_pandas(g, schema=want, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )

@@ -693,3 +693,54 @@ def test_lag_lead_per_key_edges():
     # singleton and null-key partitions: all edges null
     assert out[out.k == 2].lag_value.isna().all()
     assert out[out.k.isna()].lead_value.isna().all()
+
+
+def test_percent_rank_ties_and_singleton():
+    """SQL tie semantics: tied values share the MIN rank for
+    percent_rank and the MAX rank for cume_dist; a singleton key gets
+    pr=0, cd=1; null key/value rows are excluded."""
+    from mtb_validation_service_ray.stages.windows import percent_rank_per_key
+
+    t = pa.table({
+        "k": pa.array(["a"] * 4 + ["b", None, "a"], pa.string()),
+        "v": pa.array([1.0, 2.0, 2.0, 4.0, 9.0, 1.0, None], pa.float64()),
+    })
+    out = (
+        percent_rank_per_key(rd.from_arrow(t), key_col="k", value_col="v",
+                             num_buckets=3)
+        .to_pandas()
+    )
+    assert len(out) == 5  # null key + null value rows dropped
+    a = out[out.k == "a"].sort_values("v")
+    # values [1,2,2,4]: ranks min [1,2,2,4], max [1,3,3,4], n=4
+    assert np.allclose(a.pr.to_numpy(), [0.0, 1/3, 1/3, 1.0])
+    assert np.allclose(a.cd.to_numpy(), [0.25, 0.75, 0.75, 1.0])
+    b = out[out.k == "b"]
+    assert b.pr.tolist() == [0.0] and b.cd.tolist() == [1.0]
+
+
+def test_argmax_row_per_key_keeps_full_row_and_tiebreak():
+    """The winning key row carries ALL payload columns; equal
+    timestamps resolve by the tiebreak column; layout-invariant."""
+    from mtb_validation_service_ray.stages.windows import argmax_row_per_key
+
+    base = np.datetime64("2024-01-01", "us")
+    t = pa.table({
+        "eid": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "k": pa.array([7, 7, 7, None, 8, 8], pa.int64()),
+        "ts": pa.array([base, base + np.timedelta64(5, "s"),
+                        base + np.timedelta64(5, "s"), base, base, None]),
+        "payload": pa.array(["p1", "p2", "p3", "p4", "p5", "p6"]),
+    })
+    for parts in (1, 4):
+        out = (
+            argmax_row_per_key(
+                rd.from_arrow(t).repartition(parts), key_col="k",
+                order_col="ts", tiebreak_col="eid", num_buckets=3,
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        # key 7: ts ties at +5s -> eid 3 wins; key 8: null ts dropped
+        assert out.eid.tolist() == [3, 5]
+        assert out.payload.tolist() == ["p3", "p5"]
+        assert out.k.tolist() == [7, 8]  # null key excluded
