@@ -1939,6 +1939,35 @@ def q_events_argmax_row(sf_dir: str):
     return _as_table(out).sort_by([("user_id", "ascending")])
 
 
+def q_events_mode_per_user(sf_dir: str):
+    """Grouped MODE with deterministic ties (highest count, then
+    smallest value): per-batch (key, value) partial counts, one
+    key-hash bucket exchange, vectorized per-bucket merge + arg-max."""
+    from ..stages.windows import mode_per_key
+
+    out = mode_per_key(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        key_col="user_id", value_col="event_type",
+    )
+    return _as_table(out).sort_by([("user_id", "ascending")])
+
+
+def q_events_transitions(sf_dir: str):
+    """Markov transition counts over each user's event sequence in
+    (ts, event_id) order — grouped shift per key-hash bucket, partial
+    pair counts, one small merge."""
+    from ..stages.windows import transition_counts
+
+    out = transition_counts(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]),
+        key_col="user_id", state_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    return _as_table(out).sort_by(
+        [("from_state", "ascending"), ("to_state", "ascending")]
+    )
+
+
 def q_sample_orders_bottomk(sf_dir: str):
     """Exact-size deterministic sample: the 500 orders with the
     globally smallest Knuth-hashed orderkey — per-batch local bottom-k,
@@ -2911,6 +2940,8 @@ QUERIES = {
     "events_robust_scale": q_events_robust_scale,
     "events_percent_rank": q_events_percent_rank,
     "events_argmax_row": q_events_argmax_row,
+    "events_mode_per_user": q_events_mode_per_user,
+    "events_transitions": q_events_transitions,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "tdigest_quantiles_per_type": q_tdigest_quantiles_per_type,
     "events_pivot_user_type": q_events_pivot_user_type,
@@ -3122,6 +3153,33 @@ ORACLE_SQL["events_zscore_per_type"] = """
     FROM events
     WINDOW w AS (PARTITION BY event_type)
     ORDER BY event_id"""
+
+ORACLE_SQL["events_mode_per_user"] = """
+    SELECT user_id, mode_value, n FROM (
+        SELECT user_id, event_type AS mode_value,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type ASC)
+                   AS rn
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY user_id, event_type
+    ) WHERE rn = 1 ORDER BY user_id"""
+
+ORACLE_SQL["events_transitions"] = """
+    WITH s AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              AND ts IS NOT NULL
+    )
+    SELECT prev AS from_state, event_type AS to_state,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    ORDER BY from_state, to_state"""
 
 ORACLE_SQL["events_percent_rank"] = """
     SELECT event_id, event_type, value,

@@ -585,3 +585,153 @@ def argmax_row_per_key(
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pyarrow")
     )
+
+
+def mode_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Most frequent value per key (grouped MODE), deterministic ties:
+    highest count wins, equal counts resolve to the SMALLEST value.
+    Two-level reduce: per-batch (key, value) partial counts, one
+    bucketed exchange keyed on ``key`` (so a key's counts co-locate),
+    then a vectorized per-bucket count-merge + arg-max — never a
+    per-group Python call, never a full-row shuffle.  Null keys or
+    values are excluded."""
+    import numpy as np
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(key_col)),
+            pc.is_valid(batch.column(value_col)),
+        )
+        t = batch.select([key_col, value_col]).filter(ok)
+        g = t.group_by([key_col, value_col]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                key_col: g.column(key_col),
+                value_col: g.column(value_col),
+                "_n": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return append_bucket_column(batch, [key_col], num_buckets)
+
+    def mode_bucket(tbl: pa.Table) -> pa.Table:
+        want = pa.schema(
+            [
+                tbl.schema.field(key_col),
+                tbl.schema.field(value_col).with_name("mode_value"),
+                pa.field("n", pa.int64()),
+            ]
+        )
+        g = (
+            tbl.to_pandas()
+            .groupby([key_col, value_col], sort=False)["_n"]
+            .sum()
+            .reset_index()
+        )
+        # arg-max with deterministic ties: sort by (key, -n, value) and
+        # take the first row per key
+        g = g.sort_values(
+            [key_col, "_n", value_col], ascending=[True, False, True],
+            kind="stable",
+        ).groupby(key_col, sort=False).head(1)
+        out = g.rename(columns={value_col: "mode_value", "_n": "n"})
+        return pa.Table.from_pandas(out, schema=want, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(mode_bucket, batch_format="pyarrow")
+    )
+
+
+def transition_counts(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Markov transition counts: for each key's event sequence in
+    ``(ts, tiebreak)`` order, count consecutive ``(from_state,
+    to_state)`` pairs over ALL keys — the sequence-mining staple (user
+    journeys, token bigrams).  One key-hash bucket shuffle co-locates
+    each key's events; each bucket forms pairs with a vectorized
+    grouped shift, collapses them to partial counts, and one final
+    small groupby merges buckets.  Rows with null key/state/ts are
+    excluded; sequences shorter than 2 emit nothing."""
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(
+                pc.is_valid(batch.column(key_col)),
+                pc.is_valid(batch.column(state_col)),
+            ),
+            pc.is_valid(batch.column(ts_col)),
+        )
+        cols = [key_col, state_col, ts_col] + (
+            [tiebreak_col] if tiebreak_col else []
+        )
+        return batch.select(cols).filter(ok)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return append_bucket_column(batch, [key_col], num_buckets)
+
+    def pairs_bucket(tbl: pa.Table) -> pa.Table:
+        state_type = tbl.schema.field(state_col).type
+        want = pa.schema(
+            [
+                pa.field("from_state", state_type),
+                pa.field("to_state", state_type),
+                pa.field("n", pa.int64()),
+            ]
+        )
+        g = (
+            tbl.to_pandas()
+            .sort_values(order, kind="stable")
+            .reset_index(drop=True)
+        )
+        gb = g.groupby(key_col, sort=False)
+        frm = gb[state_col].shift(1)
+        mask = frm.notna() & (
+            gb.ngroup().shift(1) == gb.ngroup()
+        )  # same key as previous row
+        p = (
+            pd.DataFrame({"from_state": frm[mask], "to_state": g[state_col][mask]})
+            .groupby(["from_state", "to_state"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(p, schema=want, preserve_index=False)
+
+    pairs = (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(pairs_bucket, batch_format="pyarrow")
+    )
+    from .groupagg import bucketed_group_agg
+
+    return bucketed_group_agg(
+        pairs, ["from_state", "to_state"], [("n", "n", "sum")], partial=False
+    )

@@ -744,3 +744,54 @@ def test_argmax_row_per_key_keeps_full_row_and_tiebreak():
         assert out.eid.tolist() == [3, 5]
         assert out.payload.tolist() == ["p3", "p5"]
         assert out.k.tolist() == [7, 8]  # null key excluded
+
+
+def test_mode_per_key_tie_and_nulls():
+    from mtb_validation_service_ray.stages.windows import mode_per_key
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, None, 2], pa.int64()),
+        "v": pa.array(["b", "a", "b", "a", "x", None, "y", "x"], pa.string()),
+    })
+    out = (
+        mode_per_key(rd.from_arrow(t).repartition(3), key_col="k",
+                     value_col="v", num_buckets=3)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # key 1: a=2, b=2 tie -> smallest value "a"; key 2: x=2 (null v dropped)
+    assert out.k.tolist() == [1, 2]
+    assert out.mode_value.tolist() == ["a", "x"]
+    assert out.n.tolist() == [2, 2]
+
+
+def test_transition_counts_vs_brute():
+    from mtb_validation_service_ray.stages.windows import transition_counts
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    base = np.datetime64("2024-01-01", "us")
+    users = rng.integers(0, 40, n)
+    states = rng.choice(["a", "b", "c"], n)
+    ts = base + rng.integers(0, 10**6, n).astype("timedelta64[us]")
+    t = pa.table({
+        "eid": pa.array(range(n), pa.int64()),
+        "u": pa.array(users, pa.int64()),
+        "s": pa.array(states, pa.string()),
+        "ts": pa.array(ts),
+    })
+    out = (
+        transition_counts(
+            rd.from_arrow(t).repartition(5), key_col="u", state_col="s",
+            ts_col="ts", tiebreak_col="eid", num_buckets=4,
+        )
+        .to_pandas().set_index(["from_state", "to_state"]).n.to_dict()
+    )
+    # brute force
+    import collections
+    df = t.to_pandas().sort_values(["u", "ts", "eid"])
+    exp = collections.Counter()
+    for _, g in df.groupby("u"):
+        s = g.s.tolist()
+        for a, b in zip(s, s[1:]):
+            exp[(a, b)] += 1
+    assert out == dict(exp)
