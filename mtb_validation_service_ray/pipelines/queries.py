@@ -1968,6 +1968,49 @@ def q_events_transitions(sf_dir: str):
     )
 
 
+def q_events_topk_per_user(sf_dir: str):
+    """Top-3 full event rows per user by (value, event_id) with ranks —
+    per-batch partial top-k, one bucketed reduce (≤ k rows per (key,
+    batch) shuffled)."""
+    from ..stages.windows import topk_rows_per_key
+
+    out = topk_rows_per_key(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        key_col="user_id", order_col="value", k=3, tiebreak_col="event_id",
+    )
+    return _as_table(out).sort_by(
+        [("user_id", "ascending"), ("rank", "ascending")]
+    )
+
+
+def q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, user_id) analog: the raw table is
+    reduced ONCE at the finest level; each coarser level re-aggregates
+    the previous level's tiny result (sum-of-sums re-entrancy)."""
+    from ..stages.stats import rollup_agg
+
+    out = rollup_agg(
+        _read(sf_dir, "events", ["event_type", "user_id", "value"]),
+        ["event_type", "user_id"], "value",
+    )
+    return _as_table(out).sort_by(
+        [("event_type", "ascending"), ("user_id", "ascending")]
+    )
+
+
+def q_events_value_histogram(sf_dir: str):
+    """Fixed-width 20-bin histogram of events.value over [0, 500) with
+    explicit clip/floor bucket arithmetic (SQL-recomputable exactly);
+    bucket −1 counts nulls."""
+    from ..stages.stats import histogram_fixed
+
+    out = histogram_fixed(
+        _read(sf_dir, "events", ["value"]), "value",
+        lo=0.0, hi=500.0, nbins=20,
+    )
+    return _as_table(out).sort_by([("bucket", "ascending")])
+
+
 def q_sample_orders_bottomk(sf_dir: str):
     """Exact-size deterministic sample: the 500 orders with the
     globally smallest Knuth-hashed orderkey — per-batch local bottom-k,
@@ -2942,6 +2985,9 @@ QUERIES = {
     "events_argmax_row": q_events_argmax_row,
     "events_mode_per_user": q_events_mode_per_user,
     "events_transitions": q_events_transitions,
+    "events_topk_per_user": q_events_topk_per_user,
+    "events_rollup": q_events_rollup,
+    "events_value_histogram": q_events_value_histogram,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "tdigest_quantiles_per_type": q_tdigest_quantiles_per_type,
     "events_pivot_user_type": q_events_pivot_user_type,
@@ -3153,6 +3199,36 @@ ORACLE_SQL["events_zscore_per_type"] = """
     FROM events
     WINDOW w AS (PARTITION BY event_type)
     ORDER BY event_id"""
+
+ORACLE_SQL["events_topk_per_user"] = """
+    SELECT event_id, user_id, value, rank FROM (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id DESC)
+                   AS rank
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ) WHERE rank <= 3 ORDER BY user_id, rank"""
+
+ORACLE_SQL["events_rollup"] = """
+    SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY ROLLUP(event_type, user_id)
+    ORDER BY event_type, user_id"""
+
+ORACLE_SQL["events_value_histogram"] = """
+    WITH b AS (
+        SELECT CASE WHEN value IS NULL THEN -1
+                    ELSE CAST(LEAST(GREATEST(
+                             FLOOR((value - 0.0) / 25.0), 0), 19) AS BIGINT)
+               END AS bucket
+        FROM events
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket ORDER BY bucket"""
 
 ORACLE_SQL["events_mode_per_user"] = """
     SELECT user_id, mode_value, n FROM (

@@ -864,3 +864,154 @@ def robust_scale_per_key(
     return ds.map_batches(
         normalize, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def histogram_fixed(
+    ds: rd.Dataset,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> rd.Dataset:
+    """Fixed-width histogram with EXPLICIT bucket arithmetic —
+    ``bucket = clip(floor((v − lo) / width), 0, nbins−1)`` — so a SQL
+    oracle recomputes bit-identical buckets (numpy's ``histogram``
+    treats the last edge differently and would disagree at boundaries).
+    Out-of-range values clamp to the edge buckets; nulls are dropped
+    but counted in the ``n_null`` row (bucket −1).  Per-batch bincount
+    partials, one tiny merge — the classic mergeable profile lane."""
+    import pyarrow.compute as pc
+
+    width = (hi - lo) / nbins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(value_col)
+        n_null = col.null_count
+        v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(
+            np.floor((v - lo) / width), 0, nbins - 1
+        ).astype(np.int64) if len(v) else np.empty(0, np.int64)
+        counts = np.bincount(b, minlength=nbins)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.r_[-1, np.arange(nbins)].astype(np.int64)
+                ),
+                "n": pa.array(np.r_[n_null, counts].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .sum("n")
+        .map_batches(
+            # drop empty buckets (incl. a zero null-row) — SQL GROUP BY
+            # only emits groups that exist
+            lambda t: pa.table(
+                {
+                    "bucket": t.column("bucket"),
+                    "n": t.column("sum(n)").cast(pa.int64()),
+                }
+            ).filter(pc.greater(t.column("sum(n)"), 0)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def rollup_agg(
+    ds: rd.Dataset,
+    levels: list[str],
+    value_col: str,
+    *,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """``GROUP BY ROLLUP(levels...)`` analog: count + sum at every
+    prefix of ``levels`` down to the grand total, with the rolled-up
+    columns null.  The finest level reduces the RAW table once (via the
+    bucketed reduce); every coarser level re-aggregates the PREVIOUS
+    level's (already tiny) result — sum-of-sums/sum-of-counts are
+    re-entrant — so the raw table is read and shuffled exactly once no
+    matter how many levels roll up.  Sum is kept on the integer-cents
+    grid (``value × 100`` as int64) so the oracle compare is exact."""
+    import pyarrow.compute as pc
+
+    from .groupagg import bucketed_group_agg
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # floor(x·100 + 0.5): the engine's standard SQL-ROUND-matching
+        # cents grid (Arrow's round is half-even; assumes non-negative
+        # values — see the oracle-float-ties note in BASELINE.md)
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(batch.column(value_col), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        return batch.select(levels).append_column("_cents", cents)
+
+    sch = _schema_of(ds)
+    level_types = {c: sch.field(c).type for c in levels}
+
+    finest = bucketed_group_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        levels,
+        [("n", "_cents", "count"), ("sum_cents", "_cents", "sum")],
+        num_buckets=num_buckets,
+    ).materialize()
+
+    out_levels = [finest]
+    prev = finest
+    for depth in range(len(levels) - 1, -1, -1):
+        keys = levels[:depth]
+        null_cols = tuple(levels[depth:])
+
+        # coarser levels fold the previous level's result — tiny input
+        if keys:
+            lvl = bucketed_group_agg(
+                prev.map_batches(
+                    lambda b, _n=null_cols: b.drop_columns(list(_n)),
+                    batch_format="pyarrow",
+                ),
+                keys,
+                [("n", "n", "sum"), ("sum_cents", "sum_cents", "sum")],
+                num_buckets=num_buckets,
+            ).map_batches(
+                lambda b, _n=null_cols, _k=tuple(keys): pa.table(
+                    {
+                        **{c: b.column(c) for c in _k},
+                        **{
+                            c: pa.nulls(b.num_rows, level_types[c])
+                            for c in _n
+                        },
+                        "n": b.column("n"),
+                        "sum_cents": b.column("sum_cents"),
+                    }
+                ).select(list(levels) + ["n", "sum_cents"]),
+                batch_format="pyarrow",
+            ).materialize()
+        else:
+            # grand total: one-row fold of the level-1 result
+            t = pa.concat_tables(
+                [b for b in prev.iter_batches(batch_format="pyarrow")
+                 if b.num_rows],
+                promote_options="default",
+            )
+            cols = {
+                c: pa.nulls(1, level_types[c]) for c in levels
+            }
+            cols["n"] = pa.array(
+                [pc.sum(t.column("n")).as_py() or 0], pa.int64()
+            )
+            cols["sum_cents"] = pa.array(
+                [pc.sum(t.column("sum_cents")).as_py() or 0], pa.int64()
+            )
+            lvl = rd.from_arrow(pa.table(cols))
+        out_levels.append(lvl)
+        prev = lvl
+
+    out = out_levels[0]
+    for lvl in out_levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -735,3 +735,74 @@ def transition_counts(
     return bucketed_group_agg(
         pairs, ["from_state", "to_state"], [("n", "n", "sum")], partial=False
     )
+
+
+def topk_rows_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str | None = None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """The k full rows with the LARGEST ``(order_col, tiebreak_col)``
+    per key, plus their 1-based ``rank`` (1 = largest) — the SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY v DESC, tie DESC)
+    <= k`` pattern, generalizing ``argmax_row_per_key`` beyond k=1.
+    Distributed the same way: per-batch partial top-k (vectorized sort
+    + grouped tail), one bucketed reduce — the shuffle carries at most
+    ``k`` rows per (key, batch).  Rows with null key/order excluded;
+    pass a unique ``tiebreak_col`` for determinism."""
+    import numpy as np
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    order = [key_col, order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(key_col)),
+            pc.is_valid(batch.column(order_col)),
+        )
+        batch = batch.filter(ok)
+        if batch.num_rows == 0:
+            return batch
+        g = (
+            batch.to_pandas()
+            .sort_values(order, kind="stable")
+            .groupby(key_col, sort=False)
+            .tail(k)
+        )
+        return pa.Table.from_pandas(
+            g, schema=batch.schema, preserve_index=False
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return append_bucket_column(batch, [key_col], num_buckets)
+
+    def reduce_bucket(tbl: pa.Table) -> pa.Table:
+        want = tbl.schema.remove(tbl.schema.get_field_index("_bucket"))
+        want = want.append(pa.field("rank", pa.int64()))
+        g = (
+            tbl.to_pandas()
+            .drop(columns=["_bucket"])
+            .sort_values(order, kind="stable", ascending=False)
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+        # descending sort puts the largest first; cumcount ranks it 1
+        g["rank"] = (
+            g.groupby(key_col, sort=False).cumcount() + 1
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, schema=want, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )

@@ -795,3 +795,28 @@ def test_transition_counts_vs_brute():
         for a, b in zip(s, s[1:]):
             exp[(a, b)] += 1
     assert out == dict(exp)
+
+
+def test_topk_rows_per_key_matches_window():
+    from mtb_validation_service_ray.stages.windows import topk_rows_per_key
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    t = pa.table({
+        "eid": pa.array(range(n), pa.int64()),
+        "k": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 50, n).astype("float64")),
+    })
+    out = (
+        topk_rows_per_key(
+            rd.from_arrow(t).repartition(5), key_col="k", order_col="v",
+            k=3, tiebreak_col="eid", num_buckets=4,
+        )
+        .to_pandas().sort_values(["k", "rank"]).reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["v", "eid"], ascending=False)
+    exp = df.groupby("k", sort=False).head(3)
+    exp = exp.assign(rank=exp.groupby("k", sort=False).cumcount() + 1)
+    exp = exp.sort_values(["k", "rank"]).reset_index(drop=True)
+    assert out.eid.tolist() == exp.eid.tolist()
+    assert out["rank"].tolist() == exp["rank"].tolist()

@@ -323,3 +323,48 @@ def test_robust_scale_per_key_edges():
     assert out[out.k.isna()].r.isna().all()      # null key
     assert out[(out.k == "a") & out.v.isna()].r.isna().all()  # null value
     assert out[out.k == "c"].r.isna().all()      # all-null group: unseen
+
+
+def test_histogram_fixed_edges_and_nulls():
+    from mtb_validation_service_ray.stages.stats import histogram_fixed
+
+    t = pa.table({
+        "v": pa.array(
+            [-5.0, 0.0, 9.99, 10.0, 95.0, 200.0, None, None], pa.float64()
+        ),
+    })
+    out = (
+        histogram_fixed(rd.from_arrow(t).repartition(3), "v",
+                        lo=0.0, hi=100.0, nbins=10)
+        .to_pandas().set_index("bucket").n.to_dict()
+    )
+    # -5 clamps to 0; 10.0 is bucket 1's left edge; 200 clamps to 9
+    assert out == {-1: 2, 0: 3, 1: 1, 9: 2}
+
+
+def test_rollup_agg_matches_pandas():
+    from mtb_validation_service_ray.stages.stats import rollup_agg
+
+    rng = np.random.default_rng(6)
+    n = 500
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y"], n), pa.string()),
+        "b": pa.array(rng.integers(0, 5, n), pa.int64()),
+        "v": pa.array(np.round(rng.uniform(0, 10, n), 2), pa.float64()),
+    })
+    out = rollup_agg(
+        rd.from_arrow(t).repartition(4), ["a", "b"], "v", num_buckets=3
+    ).to_pandas()
+    df = t.to_pandas()
+    df["cents"] = np.floor(df.v * 100 + 0.5).astype(np.int64)
+    fine = out[out.a.notna() & out.b.notna()]
+    assert len(fine) == df.groupby(["a", "b"]).ngroups
+    exp = df.groupby(["a", "b"]).cents.sum()
+    got = fine.set_index(["a", "b"]).sum_cents
+    assert (got.sort_index() == exp.sort_index()).all()
+    mid = out[out.a.notna() & out.b.isna()].set_index("a")
+    assert (mid.n.sort_index().to_numpy()
+            == df.groupby("a").size().sort_index().to_numpy()).all()
+    total = out[out.a.isna() & out.b.isna()]
+    assert len(total) == 1
+    assert total.n.iloc[0] == n and total.sum_cents.iloc[0] == df.cents.sum()
