@@ -16,7 +16,7 @@ scale these become:
   the match inverted.
 
 The shuffle strategy is a single hash ``groupby`` over tagged key rows
-with vectorized aggregates only (Max/Min/Sum) — no per-group Python, no
+with vectorized aggregates only (bucketed max/min/sum reduce) — no per-group Python, no
 second exchange — so it scales to both sides being 10^12 rows.  Keys are
 pre-deduplicated per batch before the exchange (partial aggregation), so
 a skewed key (one annotation referenced by millions of rows) ships once
@@ -31,7 +31,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
 
 from ..rules.core import Rule
 from ..schema import PARTITION_COL, VIOLATION_SCHEMA, violations_table
@@ -110,11 +109,35 @@ def _shuffle_missing(
     tagged = ds.map_batches(left_rows, batch_format="pyarrow").union(
         keys.map_batches(key_rows, batch_format="pyarrow")
     )
-    agg = tagged.groupby("key").aggregate(
-        Max("tag", alias_name="has_match"),
-        Min("tag", alias_name="min_tag"),
-        Min(PARTITION_COL, alias_name="pid"),
-        Sum("tag", alias_name="_ntag"),
+    # bucketed reduce, not the native sort aggregate: the key column is
+    # an IDENTIFIER (near-unique), where the native aggregate pays a
+    # per-output-group Python cost (stages/groupagg.py scale finding)
+    from .groupagg import bucketed_group_agg, pin_column_types
+
+    agg = bucketed_group_agg(
+        tagged,
+        ["key"],
+        [
+            ("has_match", "tag", "max"),
+            ("min_tag", "tag", "min"),
+            ("pid", PARTITION_COL, "min"),
+            ("_ntag", "tag", "sum"),
+        ],
+        # left_rows/key_rows already dedupe per batch
+        partial=False,
+    ).map_batches(
+        # all-null pid buckets degrade to float64 in pandas; pin back
+        lambda t: pin_column_types(
+            t,
+            {
+                "has_match": pa.int8(),
+                "min_tag": pa.int8(),
+                "pid": pa.int32(),
+                "_ntag": pa.int64(),
+            },
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     def to_violations(batch: pa.Table) -> pa.Table:
