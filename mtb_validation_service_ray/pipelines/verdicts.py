@@ -4,11 +4,13 @@ Mirrors the reference's outcome partitioning: a validation report's
 worst severity decides the outcome, and fatal issues reject the record
 (`FatalIssuesDetected`, Tests.scala:45-56; SURVEY.md §2.2 #33).
 
-Physical plan: one tagged-union hash aggregate.  Every record id (with
-its partition) enters as a rank −1 row; every violation enters with its
-severity rank; ``groupby(record_id).aggregate(Max, Sum, Max)`` — all
-vectorized, no per-group Python — yields verdicts for BOTH clean and
-violating records in a single exchange.
+Physical plan: one tagged-union bucketed reduce.  Every record id
+(with its partition) enters as a rank −1 row; every violation enters
+with its severity rank; a key-hash bucketed max/sum/max fold
+(stages/groupagg.py — record_id is near-unique, so the native sort
+aggregate's per-output-group cost would dominate; measured 1.7 s for
+2M records vs the ~29 s native-plan class) yields verdicts for BOTH
+clean and violating records in a single exchange.
 """
 
 from __future__ import annotations
@@ -16,7 +18,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Max, Sum
 
 from .. import SEVERITY_RANK
 from ..schema import PARTITION_COL, VERDICT_SCHEMA
@@ -103,20 +104,31 @@ def verdicts(ids: rd.Dataset, violations: rd.Dataset) -> rd.Dataset:
     One coarse bucketed exchange: tagged rows are hashed into ≈#CPU
     buckets and each bucket reduces with a vectorized pandas groupby —
     far cheaper than a generic per-key aggregate at this shape."""
-    import ray
+    from ..stages.groupagg import bucketed_group_agg, pin_column_types
 
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    tagged = (
-        ids.map_batches(_id_rows, batch_format="pyarrow")
-        .union(violations.map_batches(_violation_rows, batch_format="pyarrow"))
-        # coalesce the many tiny tagged blocks: the sort-based aggregate
-        # is quadratic in (input blocks × output partitions)
-        .repartition(n_parts)
+    tagged = ids.map_batches(_id_rows, batch_format="pyarrow").union(
+        violations.map_batches(_violation_rows, batch_format="pyarrow")
     )
-    agg = tagged.groupby("record_id").aggregate(
-        Max("rank", alias_name="max_rank"),
-        Sum("cnt", alias_name="n_issues"),
-        Max(PARTITION_COL, alias_name="pid"),
+    # bucketed reduce, not the native sort aggregate: record_id is a
+    # near-unique key, where the native aggregate pays a per-output-
+    # group Python cost (stages/groupagg.py scale finding, r4)
+    agg = bucketed_group_agg(
+        tagged,
+        ["record_id"],
+        [
+            ("max_rank", "rank", "max"),
+            ("n_issues", "cnt", "sum"),
+            ("pid", PARTITION_COL, "max"),
+        ],
+        partial=False,
+    ).map_batches(
+        lambda t: pin_column_types(
+            t,
+            {"max_rank": pa.int8(), "n_issues": pa.int64(),
+             "pid": pa.int32()},
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return agg.map_batches(_finalize, batch_format="pyarrow")
 
@@ -281,17 +293,30 @@ def verdicts_with_unique(
         t = _violation_rows(batch)
         return t.append_column("occ", pa.array([0] * len(t), pa.int64()))
 
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    tagged = (
-        ids.map_batches(id_rows_occ, batch_format="pyarrow")
-        .union(violations.map_batches(violation_rows_occ, batch_format="pyarrow"))
-        .repartition(n_parts)
+    from ..stages.groupagg import bucketed_group_agg, pin_column_types
+
+    tagged = ids.map_batches(id_rows_occ, batch_format="pyarrow").union(
+        violations.map_batches(violation_rows_occ, batch_format="pyarrow")
     )
-    agg = tagged.groupby("record_id").aggregate(
-        Max("rank", alias_name="max_rank"),
-        Sum("cnt", alias_name="n_issues"),
-        Max(PARTITION_COL, alias_name="pid"),
-        Sum("occ", alias_name="n_occ"),
+    # bucketed reduce over the near-unique record_id (see verdicts())
+    agg = bucketed_group_agg(
+        tagged,
+        ["record_id"],
+        [
+            ("max_rank", "rank", "max"),
+            ("n_issues", "cnt", "sum"),
+            ("pid", PARTITION_COL, "max"),
+            ("n_occ", "occ", "sum"),
+        ],
+        partial=False,
+    ).map_batches(
+        lambda t: pin_column_types(
+            t,
+            {"max_rank": pa.int8(), "n_issues": pa.int64(),
+             "pid": pa.int32(), "n_occ": pa.int64()},
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     ).materialize()
 
     def finalize_with_uq(batch: pa.Table) -> pa.Table:
