@@ -1495,6 +1495,18 @@ def _events_value_sides(sf_dir: str):
     return a, b
 
 
+def q_events_union_sides(sf_dir: str):
+    """Distributed UNION DISTINCT over row tuples — completes the set
+    family (same tagged-union bucketed plan; every group survives)."""
+    from ..stages.setops import set_op
+
+    a, b = _events_value_sides(sf_dir)
+    out = set_op(a, b, "union")
+    return _as_table(out).sort_by(
+        [("user_id", "ascending"), ("event_type", "ascending")]
+    )
+
+
 def q_events_intersect_sides(sf_dir: str):
     """Distributed INTERSECT DISTINCT over row tuples: (user, type)
     pairs with both a >100-value event and an early-log event — tagged
@@ -2985,6 +2997,7 @@ QUERIES = {
     "events_argmax_row": q_events_argmax_row,
     "events_mode_per_user": q_events_mode_per_user,
     "events_transitions": q_events_transitions,
+    "events_union_sides": q_events_union_sides,
     "events_topk_per_user": q_events_topk_per_user,
     "events_rollup": q_events_rollup,
     "events_value_histogram": q_events_value_histogram,
@@ -3256,6 +3269,12 @@ ORACLE_SQL["events_transitions"] = """
     FROM s WHERE prev IS NOT NULL
     GROUP BY prev, event_type
     ORDER BY from_state, to_state"""
+
+ORACLE_SQL["events_union_sides"] = """
+    SELECT user_id, event_type FROM events WHERE value > 100
+    UNION
+    SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-10'
+    ORDER BY user_id, event_type"""
 
 ORACLE_SQL["events_percent_rank"] = """
     SELECT event_id, event_type, value,

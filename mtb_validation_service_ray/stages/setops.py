@@ -1,4 +1,4 @@
-"""Distinct set operations over full row tuples: INTERSECT / EXCEPT.
+"""Distinct set operations over full row tuples: UNION / INTERSECT / EXCEPT.
 
 SQL's bag-to-set operators, distributed with the engine's standard
 high-cardinality reduce: tag each side, pre-dedupe rows per batch
@@ -28,11 +28,13 @@ def set_op(
     columns: list[str] | None = None,
     num_buckets: int | None = None,
 ) -> rd.Dataset:
-    """``a INTERSECT b`` / ``a EXCEPT b`` (distinct) over ``columns``
+    """``a UNION b`` / ``a INTERSECT b`` / ``a EXCEPT b`` (distinct) over ``columns``
     (default: ``a``'s full schema; ``b`` must carry the same names and
     castable types).  Output: the distinct surviving rows."""
-    if op not in ("intersect", "except"):
-        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    if op not in ("union", "intersect", "except"):
+        raise ValueError(
+            f"op must be 'union', 'intersect' or 'except', got {op!r}"
+        )
     from .groupagg import bucketed_group_agg
 
     schema = a.schema()
@@ -65,7 +67,9 @@ def set_op(
     def survive(batch: pa.Table) -> pa.Table:
         lo = batch.column("_min_side")
         hi = batch.column("_max_side")
-        if op == "intersect":
+        if op == "union":  # distinct rows from either side
+            keep = pc.less_equal(lo, hi)  # every group survives
+        elif op == "intersect":
             keep = pc.and_(pc.equal(lo, 0), pc.equal(hi, 1))
         else:  # except: on side a only
             keep = pc.and_(pc.equal(lo, 0), pc.equal(hi, 0))
