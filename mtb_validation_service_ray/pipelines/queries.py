@@ -2010,6 +2010,20 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, user_id) analog — every grouping-set
+    subset re-aggregated from the once-reduced finest level."""
+    from ..stages.stats import rollup_agg
+
+    out = rollup_agg(
+        _read(sf_dir, "events", ["event_type", "user_id", "value"]),
+        ["event_type", "user_id"], "value", cube=True,
+    )
+    return _as_table(out).sort_by(
+        [("event_type", "ascending"), ("user_id", "ascending")]
+    )
+
+
 def q_events_value_histogram(sf_dir: str):
     """Fixed-width 20-bin histogram of events.value over [0, 500) with
     explicit clip/floor bucket arithmetic (SQL-recomputable exactly);
@@ -3000,6 +3014,7 @@ QUERIES = {
     "events_union_sides": q_events_union_sides,
     "events_topk_per_user": q_events_topk_per_user,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
     "events_value_histogram": q_events_value_histogram,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "tdigest_quantiles_per_type": q_tdigest_quantiles_per_type,
@@ -3230,6 +3245,15 @@ ORACLE_SQL["events_rollup"] = """
                AS sum_cents
     FROM events
     GROUP BY ROLLUP(event_type, user_id)
+    ORDER BY event_type, user_id"""
+
+ORACLE_SQL["events_cube"] = """
+    SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY CUBE(event_type, user_id)
     ORDER BY event_type, user_id"""
 
 ORACLE_SQL["events_value_histogram"] = """

@@ -925,16 +925,18 @@ def rollup_agg(
     levels: list[str],
     value_col: str,
     *,
+    cube: bool = False,
     num_buckets: int | None = None,
 ) -> rd.Dataset:
-    """``GROUP BY ROLLUP(levels...)`` analog: count + sum at every
-    prefix of ``levels`` down to the grand total, with the rolled-up
-    columns null.  The finest level reduces the RAW table once (via the
-    bucketed reduce); every coarser level re-aggregates the PREVIOUS
-    level's (already tiny) result — sum-of-sums/sum-of-counts are
-    re-entrant — so the raw table is read and shuffled exactly once no
-    matter how many levels roll up.  Sum is kept on the integer-cents
-    grid (``value × 100`` as int64) so the oracle compare is exact."""
+    """``GROUP BY ROLLUP(levels...)`` analog (``cube=True`` → ``GROUP
+    BY CUBE``: every SUBSET of ``levels``, not just prefixes): count +
+    sum at each grouping set, with the rolled-up columns null.  The
+    finest level reduces the RAW table once (via the bucketed reduce);
+    every other grouping set re-aggregates the finest (already tiny)
+    result — sum-of-sums/sum-of-counts are re-entrant — so the raw
+    table is read and shuffled exactly once no matter how many sets
+    roll up.  Sum is kept on the integer-cents grid (``value × 100``
+    as int64) so the oracle compare is exact."""
     import pyarrow.compute as pc
 
     from .groupagg import bucketed_group_agg
@@ -961,16 +963,25 @@ def rollup_agg(
         num_buckets=num_buckets,
     ).materialize()
 
-    out_levels = [finest]
-    prev = finest
-    for depth in range(len(levels) - 1, -1, -1):
-        keys = levels[:depth]
-        null_cols = tuple(levels[depth:])
+    if cube:
+        from itertools import combinations
 
-        # coarser levels fold the previous level's result — tiny input
+        grouping_sets = [
+            list(c)
+            for r in range(len(levels) - 1, -1, -1)
+            for c in combinations(levels, r)
+        ]
+    else:
+        grouping_sets = [levels[:d] for d in range(len(levels) - 1, -1, -1)]
+
+    out_levels = [finest]
+    for keys in grouping_sets:
+        null_cols = tuple(c for c in levels if c not in keys)
+
+        # every other grouping set folds the finest result — tiny input
         if keys:
             lvl = bucketed_group_agg(
-                prev.map_batches(
+                finest.map_batches(
                     lambda b, _n=null_cols: b.drop_columns(list(_n)),
                     batch_format="pyarrow",
                 ),
@@ -992,9 +1003,9 @@ def rollup_agg(
                 batch_format="pyarrow",
             ).materialize()
         else:
-            # grand total: one-row fold of the level-1 result
+            # grand total: one-row fold of the finest result
             t = pa.concat_tables(
-                [b for b in prev.iter_batches(batch_format="pyarrow")
+                [b for b in finest.iter_batches(batch_format="pyarrow")
                  if b.num_rows],
                 promote_options="default",
             )
@@ -1009,7 +1020,6 @@ def rollup_agg(
             )
             lvl = rd.from_arrow(pa.table(cols))
         out_levels.append(lvl)
-        prev = lvl
 
     out = out_levels[0]
     for lvl in out_levels[1:]:
