@@ -2010,6 +2010,31 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_events_value_quantiles_cont(sf_dir: str):
+    """INTERPOLATED grouped quantiles (PERCENTILE_CONT twin of the
+    rank-selection exact lane) — formula-identical to DuckDB's
+    quantile_cont, rounded half-away to 6 decimals on both sides."""
+    from ..stages.stats import grouped_quantiles_cont
+
+    out = grouped_quantiles_cont(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        key_col="event_type", value_col="value",
+    )
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "q": batch.column("q").cast(pa.float64()),
+                "value": batch.column("value").cast(pa.float64()),
+            }
+        )
+
+    return _as_table(out.map_batches(cast, batch_format="pyarrow")).sort_by(
+        [("event_type", "ascending"), ("q", "ascending")]
+    )
+
+
 def q_events_cube(sf_dir: str):
     """GROUP BY CUBE(event_type, user_id) analog — every grouping-set
     subset re-aggregated from the once-reduced finest level."""
@@ -3015,6 +3040,7 @@ QUERIES = {
     "events_topk_per_user": q_events_topk_per_user,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
+    "events_value_quantiles_cont": q_events_value_quantiles_cont,
     "events_value_histogram": q_events_value_histogram,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
     "tdigest_quantiles_per_type": q_tdigest_quantiles_per_type,
@@ -3246,6 +3272,20 @@ ORACLE_SQL["events_rollup"] = """
     FROM events
     GROUP BY ROLLUP(event_type, user_id)
     ORDER BY event_type, user_id"""
+
+ORACLE_SQL["events_value_quantiles_cont"] = """
+    WITH g AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q25,
+               quantile_cont(value, 0.50) AS q50,
+               quantile_cont(value, 0.75) AS q75
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, q, ROUND(v, 6) AS value FROM (
+        SELECT event_type, 0.25 AS q, q25 AS v FROM g
+        UNION ALL SELECT event_type, 0.50, q50 FROM g
+        UNION ALL SELECT event_type, 0.75, q75 FROM g
+    ) ORDER BY event_type, q"""
 
 ORACLE_SQL["events_cube"] = """
     SELECT event_type, CAST(user_id AS BIGINT) AS user_id,

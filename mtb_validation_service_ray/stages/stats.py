@@ -1025,3 +1025,46 @@ def rollup_agg(
     for lvl in out_levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def grouped_quantiles_cont(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    decimals: int = 6,
+) -> rd.Dataset:
+    """INTERPOLATED per-group quantiles (SQL ``PERCENTILE_CONT`` /
+    DuckDB ``quantile_cont``, numpy type-7 linear): at rank
+    ``h = (n−1)·q``, ``v[⌊h⌋] + (h−⌊h⌋)·(v[⌈h⌉] − v[⌊h⌋])`` — verified
+    formula-identical to DuckDB's.  Rounded half-AWAY to ``decimals``
+    so the hash compare absorbs any last-ulp divergence.  Same
+    key-cardinality contract as ``grouped_quantiles`` (each group's
+    values shuffle to one worker); null values are excluded."""
+    q_arr = np.asarray(qs, dtype=np.float64)
+    scale = 10.0 ** decimals
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group[value_col].dropna().to_numpy(dtype=np.float64))
+        n = len(v)
+        if n == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series(dtype=group[key_col].dtype),
+                 "q": pd.Series(dtype=np.float64),
+                 "value": pd.Series(dtype=np.float64)}
+            )
+        h = (n - 1) * q_arr
+        lo = np.floor(h).astype(np.int64)
+        hi = np.ceil(h).astype(np.int64)
+        val = v[lo] + (h - lo) * (v[hi] - v[lo])
+        val = np.sign(val) * np.floor(np.abs(val) * scale + 0.5) / scale
+        return pd.DataFrame(
+            {
+                key_col: [group[key_col].iloc[0]] * len(q_arr),
+                "q": q_arr,
+                "value": val,
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pandas")

@@ -368,3 +368,24 @@ def test_rollup_agg_matches_pandas():
     total = out[out.a.isna() & out.b.isna()]
     assert len(total) == 1
     assert total.n.iloc[0] == n and total.sum_cents.iloc[0] == df.cents.sum()
+
+
+def test_grouped_quantiles_cont_matches_numpy():
+    from mtb_validation_service_ray.stages.stats import grouped_quantiles_cont
+
+    rng = np.random.default_rng(8)
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b"], 400), pa.string()),
+        "v": pa.array(np.round(rng.uniform(0, 100, 400), 2), pa.float64()),
+    })
+    out = (
+        grouped_quantiles_cont(
+            rd.from_arrow(t).repartition(4), key_col="k", value_col="v"
+        )
+        .to_pandas().set_index(["k", "q"]).value
+    )
+    df = t.to_pandas()
+    for k, g in df.groupby("k"):
+        for q in (0.25, 0.5, 0.75):
+            exp = np.quantile(g.v.to_numpy(), q)
+            assert abs(out.loc[(k, q)] - round(exp, 6)) < 1e-9, (k, q)
