@@ -41,6 +41,10 @@ def key_hash_u64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     value's bucket; per-bucket grouping (``dropna=False``) still
     separates them from real zeros."""
     t = col.type
+    if pa.types.is_null(t):
+        # an ALL-null column (Arrow infers type `null`): one group,
+        # constant hash (hypothesis-found edge)
+        return np.zeros(len(col), dtype=np.uint64)
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         zero = pa.scalar("", t)
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -80,6 +84,13 @@ def pin_column_types(t: pa.Table, want: dict[str, "pa.DataType"]) -> pa.Table:
             continue
         col = t.column(c)
         if col.type == typ:
+            continue
+        if pa.types.is_null(typ):
+            # the original column was ALL null (type `null`): nothing
+            # to cast — every surviving value is null by construction
+            t = t.set_column(
+                t.column_names.index(c), c, pa.nulls(t.num_rows, typ)
+            )
             continue
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if pa.types.is_floating(arr.type) and not pa.types.is_floating(typ):

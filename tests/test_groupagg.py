@@ -69,3 +69,71 @@ def test_null_keys_form_their_own_group():
     assert len(null_row) == 1
     assert null_row.n.iloc[0] == 2 and null_row.s.iloc[0] == 6
     assert out[out.k == "a"].s.iloc[0] == 4
+
+
+# --- hypothesis property: random tables vs the pandas reference ------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _tables(draw):
+    n = draw(st.integers(min_value=1, max_value=120))
+    key_kind = draw(st.sampled_from(["int", "str", "int_null", "str_null"]))
+    if key_kind.startswith("int"):
+        keys = draw(st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=n, max_size=n
+        ))
+        keys = pd.array(keys, dtype="Int64")
+    else:
+        keys = draw(st.lists(
+            st.sampled_from(["a", "b", "c", "", "0"]), min_size=n, max_size=n
+        ))
+        keys = pd.array(keys, dtype="object")
+    if key_kind.endswith("null"):
+        mask = draw(st.lists(st.booleans(), min_size=n, max_size=n))
+        keys = pd.array(
+            [None if m else k for k, m in zip(keys, mask)],
+            dtype="Int64" if key_kind.startswith("int") else "object",
+        )
+    vals = draw(st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=n, max_size=n,
+    ))
+    partial = draw(st.booleans())
+    buckets = draw(st.sampled_from([1, 2, 8]))
+    return pd.DataFrame({"k": keys, "v": np.array(vals, np.int64)}), partial, buckets
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_tables())
+def test_bucketed_group_agg_property(case):
+    """Any key dtype (nullable int / string incl. '' and '0'), any
+    bucket count, both partial modes: results equal the pandas
+    reference groupby, and a null key is exactly one group that never
+    merges with the zero value's group."""
+    df, partial, buckets = case
+    specs = [
+        ("n", "v", "count"), ("mn", "v", "min"),
+        ("mx", "v", "max"), ("s", "v", "sum"),
+    ]
+    out = (
+        bucketed_group_agg(
+            rd.from_pandas(df), ["k"], specs,
+            num_buckets=buckets, partial=partial,
+        )
+        .to_pandas()
+    )
+    ref = _ref(df, ["k"], specs)
+    out = out.sort_values("k").reset_index(drop=True)
+    # compare as aligned dicts keyed by the (nullable) key value
+    def keyed(frame):
+        return {
+            (None if pd.isna(r.k) else r.k): (r.n, r.mn, r.mx, r.s)
+            for r in frame.itertuples()
+        }
+    assert keyed(out) == keyed(ref)
