@@ -127,3 +127,52 @@ def test_tumbling_window_and_argmax_and_sessions():
     # user 1: (10:00,10:30) | (13:00) | (next day 09:00) → 3 sessions
     assert len(u1) == 3
     assert sorted(u1.n_events.tolist()) == [1, 1, 2]
+
+
+def test_polyhash_utf8_property():
+    """The Arrow-buffer polynomial hash must equal a per-string big-int
+    reference (exactness of the prefix-sum + modular-inverse trick),
+    agree across slicing/chunking/large_string layouts, and be
+    injective on distinct short strings (hypothesis-driven)."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mtb_validation_service_ray.functions.textfn import (
+        _BYTE_P,
+        _LEN_MIX,
+        _splitmix64,
+        polyhash_utf8,
+    )
+
+    def ref_hash(s: str) -> int:
+        b = s.encode("utf-8")
+        P, M = int(_BYTE_P), 1 << 64
+        poly = sum(c * pow(P, j, M) for j, c in enumerate(b)) % M
+        x = poly ^ ((len(b) * int(_LEN_MIX)) % M)
+        return int(_splitmix64(np.array([x], dtype=np.uint64))[0])
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=30))
+    def check(strings):
+        arr = pa.array(strings, pa.string())
+        got = [int(x) for x in polyhash_utf8(arr)]
+        assert got == [ref_hash(s) for s in strings]
+        # layout invariance: slice, chunk, large_string
+        if len(arr) > 2:
+            sl = arr.slice(1, len(arr) - 2)
+            assert [int(x) for x in polyhash_utf8(sl)] == got[1:-1]
+        ch = pa.chunked_array([arr.slice(0, 1), arr.slice(1)])
+        assert [int(x) for x in polyhash_utf8(ch)] == got
+        assert [
+            int(x) for x in polyhash_utf8(arr.cast(pa.large_string()))
+        ] == got
+        # equal strings hash equal; distinct strings distinct (64-bit
+        # collisions at these sizes would be a bug, not bad luck)
+        by_s = {}
+        for s, h in zip(strings, got):
+            assert by_s.setdefault(s, h) == h
+        assert len(set(by_s.values())) == len(by_s)
+
+    check()
