@@ -183,11 +183,14 @@ def polyhash_utf8(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
 
 def fingerprint64(col) -> pa.Array:
     """Document fingerprint: 64-bit hash of the case/whitespace
-    normalized text (rolling-hash family; stable across processes).
-    Equal fingerprints ⇒ near-identical documents up to
-    whitespace/case."""
+    normalized text (lowercase, internal runs collapsed, leading and
+    trailing whitespace TRIMMED — r4: a trailing blank used to make
+    otherwise-identical docs distinct).  Equal fingerprints ⇒
+    near-identical documents up to whitespace/case."""
     filled = pc.utf8_lower(pc.fill_null(col, ""))
-    normalized = pc.replace_substring_regex(filled, r"\s+", " ")
+    normalized = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(filled, r"\s+", " ")
+    )
     return pa.array(polyhash_utf8(normalized).astype(np.int64), pa.int64())
 
 

@@ -1225,7 +1225,8 @@ _FINGERPRINT_GROUPS_ORACLE = """
 SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n
 FROM (
     SELECT doc_id,
-           regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g') AS norm
+           trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))
+               AS norm
     FROM documents
 )
 GROUP BY norm HAVING COUNT(*) > 1
@@ -2033,6 +2034,29 @@ def q_events_value_quantiles_cont(sf_dir: str):
     return _as_table(out.map_batches(cast, batch_format="pyarrow")).sort_by(
         [("event_type", "ascending"), ("q", "ascending")]
     )
+
+
+def q_curate_documents(sf_dir: str):
+    """End-to-end curation capstone (pipelines/curate.py): quality
+    filter → exact fingerprint dedup → MinHash near-dup removal over
+    the documents table; returns the surviving doc ids.  Rows-only
+    (the candidate stage is hash-dependent); the pipeline is golden-
+    tested in tests/test_curate.py."""
+    from ..pipelines.curate import curate_documents
+
+    res = curate_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        min_quality=0.35, jaccard_threshold=0.8,
+    )
+
+    def ids_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64())}
+        )
+
+    return _as_table(
+        res.documents.map_batches(ids_only, batch_format="pyarrow")
+    ).sort_by([("doc_id", "ascending")])
 
 
 def q_events_cube(sf_dir: str):
@@ -3040,6 +3064,7 @@ QUERIES = {
     "events_topk_per_user": q_events_topk_per_user,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
+    "curate_documents_corpus": q_curate_documents,
     "events_value_quantiles_cont": q_events_value_quantiles_cont,
     "events_value_histogram": q_events_value_histogram,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,

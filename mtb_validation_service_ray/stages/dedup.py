@@ -458,12 +458,14 @@ def _dedupe_pair_stream(
             t = pa.concat_tables(tabs)
         else:
             s = pairs.schema()
-            if s is None:
-                # a zero-BLOCK materialized stream has no schema at all
-                # (empty corpus edge) — pass the empty dataset through
-                # unchanged rather than crash on None.empty_table()
+            sch = getattr(s, "base_schema", s) if s is not None else None
+            if not isinstance(sch, pa.Schema):
+                # a zero-BLOCK materialized stream has no schema at all,
+                # and an empty pandas-block stream reports a
+                # PandasBlockSchema (no empty_table) — pass the empty
+                # dataset through unchanged rather than crash
                 return pairs
-            t = getattr(s, "base_schema", s).empty_table()
+            t = sch.empty_table()
         g = t.group_by(["doc_a", "doc_b"]).aggregate(
             [(src, kind) for _, src, kind in specs]
         )
@@ -757,10 +759,13 @@ def connected_components(
             raise RuntimeError(
                 f"connected_components did not converge in {max_rounds} rounds"
             )
+    # id dtype follows the input pair columns (int for event graphs,
+    # string for document ids) — int64 was hardcoded here before r4
+    id_type = t.schema.field(a_col).type
     return pa.table(
         {
-            "id": pa.array(ids, pa.int64()),
-            "cluster": pa.array(ids[label], pa.int64()),
+            "id": pa.array(ids, id_type),
+            "cluster": pa.array(ids[label], id_type),
         }
     )
 

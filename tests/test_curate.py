@@ -1,0 +1,73 @@
+"""End-to-end curation pipeline golden: induced junk/exact/near
+duplicates must vanish, clean documents must all survive, and the
+per-stage accounting must add up."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from mtb_validation_service_ray.pipelines.curate import curate_documents
+
+WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa",
+]
+
+
+def _corpus():
+    rng = np.random.default_rng(3)
+    base = [
+        " ".join(rng.choice(WORDS, 60)) + f" unique{i}" for i in range(40)
+    ]
+    docs, ids = list(base), [f"d{i:03d}a" for i in range(40)]
+    for i in range(10):  # exact copies up to case/whitespace
+        docs.append(base[i].upper() + "  ")
+        ids.append(f"d{i:03d}x")
+    for i in range(10, 20):  # near copies: ONE out-of-vocab word swap
+        # (an in-vocab swap can be a no-op and collapse at the EXACT
+        # stage instead; one changed word keeps Jaccard >= ~0.83)
+        toks = base[i].split()
+        toks[5] = "omega"
+        docs.append(" ".join(toks))
+        ids.append(f"d{i:03d}n")
+    for i in range(5):  # junk: punct/digit-heavy
+        docs.append("!!! 123 ## " * 2)
+        ids.append(f"junk{i}")
+    return pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
+
+
+def test_curate_documents_golden():
+    res = curate_documents(
+        rd.from_arrow(_corpus()).repartition(4), jaccard_threshold=0.7
+    )
+    surv = set(res.documents.to_pandas().doc_id)
+    s = res.stats
+    assert s["n_input"] == 65
+    assert s["n_quality_dropped"] == 5
+    # case/space copies collapse at the EXACT stage (trimmed+lowered
+    # fingerprint), word-swapped copies at the NEAR stage
+    assert s["n_exact_dropped"] == 10
+    assert s["n_near_dropped"] == 10
+    assert s["n_survivors"] == 40
+    assert surv == {f"d{i:03d}a" for i in range(40)}
+    # accounting closes
+    assert (
+        s["n_input"] - s["n_quality_dropped"] - s["n_language_dropped"]
+        - s["n_exact_dropped"] - s["n_near_dropped"] == s["n_survivors"]
+    )
+
+
+def test_curate_language_filter():
+    t = pa.table({
+        "doc_id": pa.array(["en1", "de1", "en2"]),
+        "text": pa.array([
+            "the cat sat on the mat and it was that kind of day for it",
+            "der hund und die katze sind nicht mit von der partie zu haus",
+            "it is the end of the day and that was it for the work",
+        ]),
+    })
+    res = curate_documents(
+        rd.from_arrow(t), languages=("en",), min_quality=0.0
+    )
+    assert set(res.documents.to_pandas().doc_id) == {"en1", "en2"}
+    assert res.stats["n_language_dropped"] == 1
