@@ -2059,6 +2059,20 @@ def q_curate_documents(sf_dir: str):
     ).sort_by([("doc_id", "ascending")])
 
 
+def q_events_funnel(sf_dir: str):
+    """Conversion funnel signup → view → purchase with strict time
+    ordering per user — per-bucket vectorized step resolution, one tiny
+    bounded merge; DuckDB recomputes with chained min-after subqueries."""
+    from ..stages.windows import funnel_counts
+
+    out = funnel_counts(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        key_col="user_id", type_col="event_type", ts_col="ts",
+        steps=["signup", "view", "purchase"],
+    )
+    return _as_table(out).sort_by([("step", "ascending")])
+
+
 def q_events_cube(sf_dir: str):
     """GROUP BY CUBE(event_type, user_id) analog — every grouping-set
     subset re-aggregated from the once-reduced finest level."""
@@ -3064,6 +3078,7 @@ QUERIES = {
     "events_topk_per_user": q_events_topk_per_user,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
+    "events_funnel": q_events_funnel,
     "curate_documents_corpus": q_curate_documents,
     "events_value_quantiles_cont": q_events_value_quantiles_cont,
     "events_value_histogram": q_events_value_histogram,
@@ -3311,6 +3326,31 @@ ORACLE_SQL["events_value_quantiles_cont"] = """
         UNION ALL SELECT event_type, 0.50, q50 FROM g
         UNION ALL SELECT event_type, 0.75, q75 FROM g
     ) ORDER BY event_type, q"""
+
+ORACLE_SQL["events_funnel"] = """
+    WITH base AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              AND ts IS NOT NULL
+    ),
+    s1 AS (SELECT user_id, MIN(ts) AS t FROM base
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT b.user_id, MIN(b.ts) AS t
+           FROM base b JOIN s1 ON b.user_id = s1.user_id
+           WHERE b.event_type = 'view' AND b.ts > s1.t
+           GROUP BY b.user_id),
+    s3 AS (SELECT b.user_id, MIN(b.ts) AS t
+           FROM base b JOIN s2 ON b.user_id = s2.user_id
+           WHERE b.event_type = 'purchase' AND b.ts > s2.t
+           GROUP BY b.user_id)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'view', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM s3
+    ) ORDER BY step"""
 
 ORACLE_SQL["events_cube"] = """
     SELECT event_type, CAST(user_id AS BIGINT) AS user_id,

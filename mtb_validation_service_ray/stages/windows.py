@@ -806,3 +806,99 @@ def topk_rows_per_key(
         .groupby("_bucket")
         .map_groups(reduce_bucket, batch_format="pyarrow")
     )
+
+
+def funnel_counts(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Ordered funnel: for each step ``i``, how many keys performed
+    ``steps[0..i]`` as a STRICTLY time-increasing chain (each step
+    after the earliest feasible time of the previous one) — the
+    product-analytics conversion funnel, promoted to one key-hash
+    bucket shuffle.  Each bucket resolves all its keys vectorized
+    (per-step masked ``minimum.at`` over user codes — k passes, no
+    per-user Python); per-bucket step counts then merge in one tiny
+    bounded groupby.  Rows with null key/type/ts are excluded."""
+    import numpy as np
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    _SENT = np.int64(1 << 62)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(
+                pc.is_valid(batch.column(key_col)),
+                pc.is_valid(batch.column(type_col)),
+            ),
+            pc.is_valid(batch.column(ts_col)),
+        )
+        return batch.select([key_col, type_col, ts_col]).filter(ok)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return append_bucket_column(batch, [key_col], num_buckets)
+
+    def funnel_bucket(tbl: pa.Table) -> pa.Table:
+        ts = (
+            tbl.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        types = tbl.column(type_col).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(
+            pd.Series(tbl.column(key_col).to_pandas())
+        )
+        n_users = len(uniq)
+        prev = np.full(n_users, -_SENT, dtype=np.int64)
+        counts = []
+        for s in steps:
+            mask = (types == s) & (ts > prev[codes])
+            t = np.full(n_users, _SENT, dtype=np.int64)
+            if mask.any():
+                np.minimum.at(t, codes[mask], ts[mask])
+            reached = t != _SENT
+            counts.append(int(reached.sum()))
+            # unreached users block all later steps (ts > SENT is never
+            # true), reached users must beat their step-i time
+            prev = np.where(reached, t, _SENT)
+        return pa.table(
+            {
+                "step": pa.array(
+                    np.arange(1, len(steps) + 1, dtype=np.int64)
+                ),
+                "step_type": pa.array(steps, pa.string()),
+                "n_users": pa.array(np.array(counts, dtype=np.int64)),
+            }
+        )
+
+    partials = (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(funnel_bucket, batch_format="pyarrow")
+    )
+    # ≤ len(steps) groups: the native bounded aggregate is fine here
+    return (
+        partials.groupby(["step", "step_type"])
+        .sum("n_users")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "step": t.column("step"),
+                    "step_type": t.column("step_type"),
+                    "n_users": t.column("sum(n_users)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

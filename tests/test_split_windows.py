@@ -820,3 +820,35 @@ def test_topk_rows_per_key_matches_window():
     exp = exp.sort_values(["k", "rank"]).reset_index(drop=True)
     assert out.eid.tolist() == exp.eid.tolist()
     assert out["rank"].tolist() == exp["rank"].tolist()
+
+
+def test_funnel_counts_vs_brute():
+    from mtb_validation_service_ray.stages.windows import funnel_counts
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    base = np.datetime64("2024-01-01", "us")
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "et": pa.array(rng.choice(["a", "b", "c", "x"], n), pa.string()),
+        "ts": pa.array(base + rng.integers(0, 10**6, n).astype("timedelta64[us]")),
+    })
+    steps = ["a", "b", "c"]
+    out = (
+        funnel_counts(
+            rd.from_arrow(t).repartition(5), key_col="u", type_col="et",
+            ts_col="ts", steps=steps, num_buckets=4,
+        )
+        .to_pandas().set_index("step").n_users.to_dict()
+    )
+    df = t.to_pandas()
+    exp = [0, 0, 0]
+    for _, g in df.groupby("u"):
+        prev = None
+        for i, s in enumerate(steps):
+            cand = g[(g.et == s) & ((g.ts > prev) if prev is not None else True)]
+            if len(cand) == 0:
+                break
+            prev = cand.ts.min()
+            exp[i] += 1
+    assert out == {1: exp[0], 2: exp[1], 3: exp[2]}, (out, exp)
