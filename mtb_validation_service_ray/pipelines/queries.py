@@ -2059,6 +2059,53 @@ def q_curate_documents(sf_dir: str):
     ).sort_by([("doc_id", "ascending")])
 
 
+def q_join_customer_orders_full(sf_dir: str):
+    """FULL OUTER enrichment: high-balance customers x high-value order
+    counts — Ray's native hash-partitioned full_outer join (key column
+    coalesced), right side pre-aggregated through the bucketed reduce
+    so only one tiny row per customer enters the join."""
+    from ..stages.groupagg import bucketed_group_agg
+
+    left = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 9000"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 300000"
+    )
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("o_custkey"),
+                "_one": pa.array([1] * len(batch), pa.int64()),
+            }
+        )
+
+    right = bucketed_group_agg(
+        orders.map_batches(one, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_custkey"],
+        [("n_orders", "_one", "sum")],
+        partial=True,
+    )
+    out = left.join(
+        right, join_type="full_outer", num_partitions=8, on=("c_custkey",)
+    )
+    return _as_table(out).sort_by([("c_custkey", "ascending")])
+
+
+def q_events_string_agg(sf_dir: str):
+    """Grouped ordered concat (STRING_AGG ... ORDER BY) of each user's
+    distinct event types — ListArray slices + one Arrow binary_join per
+    bucket, never a per-group Python join."""
+    from ..stages.windows import string_agg_per_key
+
+    out = string_agg_per_key(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        key_col="user_id", value_col="event_type", distinct=True,
+    )
+    return _as_table(out).sort_by([("user_id", "ascending")])
+
+
 def q_events_funnel(sf_dir: str):
     """Conversion funnel signup → view → purchase with strict time
     ordering per user — per-bucket vectorized step resolution, one tiny
@@ -3079,6 +3126,8 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_funnel": q_events_funnel,
+    "events_string_agg": q_events_string_agg,
+    "join_customer_orders_full": q_join_customer_orders_full,
     "curate_documents_corpus": q_curate_documents,
     "events_value_quantiles_cont": q_events_value_quantiles_cont,
     "events_value_histogram": q_events_value_histogram,
@@ -3326,6 +3375,28 @@ ORACLE_SQL["events_value_quantiles_cont"] = """
         UNION ALL SELECT event_type, 0.50, q50 FROM g
         UNION ALL SELECT event_type, 0.75, q75 FROM g
     ) ORDER BY event_type, q"""
+
+ORACLE_SQL["join_customer_orders_full"] = """
+    WITH l AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+    ), r AS (
+        SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
+    )
+    SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey,
+           l.c_acctbal, r.n_orders
+    FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
+    ORDER BY c_custkey"""
+
+ORACLE_SQL["events_string_agg"] = """
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS agg,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    )
+    GROUP BY user_id ORDER BY user_id"""
 
 ORACLE_SQL["events_funnel"] = """
     WITH base AS (

@@ -902,3 +902,99 @@ def funnel_counts(
             batch_format="pyarrow",
         )
     )
+
+
+def string_agg_per_key(
+    ds: rd.Dataset,
+    *,
+    key_col: str,
+    value_col: str,
+    sep: str = ",",
+    distinct: bool = False,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """SQL ``string_agg(value, sep ORDER BY value)`` per key — the
+    grouped ordered concat.  One key-hash bucket shuffle; each bucket
+    sorts once, finds group boundaries with a shifted compare, wraps
+    the value buffer as ``ListArray`` slices and joins with ONE Arrow
+    ``binary_join`` call — no per-group Python string building.  Null
+    keys/values are excluded; ``distinct=True`` drops duplicate
+    (key, value) pairs before joining (pre-dedupe, matching a SQL
+    DISTINCT subquery)."""
+    import numpy as np
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(key_col)),
+            pc.is_valid(batch.column(value_col)),
+        )
+        return batch.select([key_col, value_col]).filter(ok)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return append_bucket_column(batch, [key_col], num_buckets)
+
+    def concat_bucket(tbl: pa.Table) -> pa.Table:
+        t = tbl.drop_columns(["_bucket"]).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "agg": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(key_col, "ascending"), (value_col, "ascending")],
+        )
+        t = t.take(idx).combine_chunks()
+        keys = t.column(key_col).chunk(0) if t.column(key_col).num_chunks else t.column(key_col)
+        vals = t.column(value_col)
+        n = len(t)
+        same_key = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_key[1:] = pc.equal(
+                keys.slice(1), keys.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        if distinct and n > 1:
+            same_val = np.zeros(n, dtype=bool)
+            same_val[1:] = pc.equal(
+                vals.combine_chunks().slice(1),
+                vals.combine_chunks().slice(0, n - 1),
+            ).to_numpy(zero_copy_only=False)
+            keep_mask = ~(same_key & same_val)
+            t = t.filter(pa.array(keep_mask)).combine_chunks()
+            keys = t.column(key_col).chunk(0) if t.column(key_col).num_chunks else t.column(key_col)
+            vals = t.column(value_col)
+            n = len(t)
+            same_key = np.zeros(n, dtype=bool)
+            if n > 1:
+                same_key[1:] = pc.equal(
+                    keys.slice(1), keys.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(~same_key)
+        offsets = np.r_[starts, n].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), vals.combine_chunks()
+        )
+        joined = pc.binary_join(lists, sep)
+        counts = np.diff(offsets).astype(np.int64)
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(starts.astype(np.int64))),
+                "agg": joined,
+                "n": pa.array(counts),
+            }
+        )
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(concat_bucket, batch_format="pyarrow")
+    )
