@@ -852,3 +852,28 @@ def test_funnel_counts_vs_brute():
             prev = cand.ts.min()
             exp[i] += 1
     assert out == {1: exp[0], 2: exp[1], 3: exp[2]}, (out, exp)
+
+
+def test_string_agg_per_key_modes():
+    from mtb_validation_service_ray.stages.windows import string_agg_per_key
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", None, "b"], pa.string()),
+        "v": pa.array(["z", "x", "x", "q", "m", None], pa.string()),
+    })
+    # keep duplicates: ordered concat includes both x's
+    out = (
+        string_agg_per_key(rd.from_arrow(t), key_col="k", value_col="v",
+                           num_buckets=3)
+        .to_pandas().set_index("k")
+    )
+    assert out.loc["a", "agg"] == "x,x,z" and out.loc["a", "n"] == 3
+    assert out.loc["b", "agg"] == "q"  # null value and null key dropped
+    assert len(out) == 2
+    # distinct mode: duplicates collapse
+    out2 = (
+        string_agg_per_key(rd.from_arrow(t), key_col="k", value_col="v",
+                           distinct=True, num_buckets=3)
+        .to_pandas().set_index("k")
+    )
+    assert out2.loc["a", "agg"] == "x,z" and out2.loc["a", "n"] == 2
