@@ -2093,6 +2093,30 @@ def q_join_customer_orders_full(sf_dir: str):
     return _as_table(out).sort_by([("c_custkey", "ascending")])
 
 
+def q_text_normalized(sf_dir: str):
+    """The fingerprint normalization itself, hash-checked end to end:
+    lowercase, collapse whitespace runs, trim — the exact string the
+    64-bit fingerprint hashes (its direct SQL twin; the fingerprint
+    GROUPS are checked separately in text_fingerprint_groups)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        filled = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        n = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(filled, r"\s+", " ")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "norm": n,
+            }
+        )
+
+    return _as_table(
+        ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by([("doc_id", "ascending")])
+
+
 def q_events_string_agg(sf_dir: str):
     """Grouped ordered concat (STRING_AGG ... ORDER BY) of each user's
     distinct event types — ListArray slices + one Arrow binary_join per
@@ -3126,6 +3150,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_funnel": q_events_funnel,
+    "text_normalized": q_text_normalized,
     "events_string_agg": q_events_string_agg,
     "join_customer_orders_full": q_join_customer_orders_full,
     "curate_documents_corpus": q_curate_documents,
@@ -3387,6 +3412,12 @@ ORACLE_SQL["join_customer_orders_full"] = """
            l.c_acctbal, r.n_orders
     FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
     ORDER BY c_custkey"""
+
+ORACLE_SQL["text_normalized"] = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g'))
+               AS norm
+    FROM documents ORDER BY doc_id"""
 
 ORACLE_SQL["events_string_agg"] = """
     SELECT user_id,
