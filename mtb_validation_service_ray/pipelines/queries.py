@@ -2093,6 +2093,26 @@ def q_join_customer_orders_full(sf_dir: str):
     return _as_table(out).sort_by([("c_custkey", "ascending")])
 
 
+def q_events_corr_per_type(sf_dir: str):
+    """Per-type Pearson correlation of value against event time
+    (epoch µs) — the per-category drift/trend detector.  Chan-merged
+    centered comoments: epoch-microsecond x values (~1.7e15) would
+    catastrophically cancel the naive E[xy]−E[x]E[y] form."""
+    from ..stages.stats import corr_per_key
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def add_epoch(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return batch.append_column("_epoch", e.cast(pa.float64()))
+
+    out = corr_per_key(
+        ds.map_batches(add_epoch, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "_epoch", "value",
+    )
+    return _as_table(out).sort_by([("event_type", "ascending")])
+
+
 def q_text_normalized(sf_dir: str):
     """The fingerprint normalization itself, hash-checked end to end:
     lowercase, collapse whitespace runs, trim — the exact string the
@@ -3150,6 +3170,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
     "events_funnel": q_events_funnel,
+    "events_corr_per_type": q_events_corr_per_type,
     "text_normalized": q_text_normalized,
     "events_string_agg": q_events_string_agg,
     "join_customer_orders_full": q_join_customer_orders_full,
@@ -3412,6 +3433,18 @@ ORACLE_SQL["join_customer_orders_full"] = """
            l.c_acctbal, r.n_orders
     FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
     ORDER BY c_custkey"""
+
+ORACLE_SQL["events_corr_per_type"] = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CASE WHEN COUNT(*) < 2
+                     OR STDDEV_POP(value) = 0
+                     OR STDDEV_POP(CAST(epoch_us(ts) AS DOUBLE)) = 0
+                THEN NULL
+                ELSE ROUND(CORR(value, CAST(epoch_us(ts) AS DOUBLE)), 6)
+           END AS r
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    GROUP BY event_type ORDER BY event_type"""
 
 ORACLE_SQL["text_normalized"] = """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,

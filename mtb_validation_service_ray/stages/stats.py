@@ -1068,3 +1068,111 @@ def grouped_quantiles_cont(
         )
 
     return ds.groupby(key_col).map_groups(per_group, batch_format="pandas")
+
+
+def corr_per_key(
+    ds: rd.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    decimals: int = 6,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Per-key Pearson correlation (SQL ``CORR(y, x)``) — e.g. value
+    drift over time per category.  Per-batch CENTERED comoment partials
+    ``(n, mean_x, mean_y, M2x, M2y, Cxy)`` merged with the parallel
+    (Chan) update — the naive E[xy]−E[x]E[y] form catastrophically
+    cancels for large-magnitude columns like epoch-microsecond
+    timestamps, exactly as variance did for ``zscore_per_key``.  Rows
+    with a null key/x/y are excluded; keys with n < 2 or zero variance
+    on either side yield a null r (matching SQL CORR).  Rounded
+    half-away to ``decimals``."""
+    import pyarrow.compute as pc
+
+    from .groupagg import append_bucket_column, default_num_buckets
+
+    key_type = _schema_of(ds).field(key_col).type
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def moments(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        xs = batch.column(x_col)
+        ys = batch.column(y_col)
+        ok = pc.and_(
+            pc.and_(pc.is_valid(xs), pc.is_valid(ys)), pc.is_valid(keys)
+        )
+        keys, xs, ys = keys.filter(ok), xs.filter(ok), ys.filter(ok)
+        x = xs.to_numpy(zero_copy_only=False).astype(np.float64)
+        y = ys.to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniques = pd.factorize(keys.to_pandas())
+        n = np.bincount(codes, minlength=len(uniques)).astype(np.float64)
+        safe_n = np.maximum(n, 1)
+        mx = np.bincount(codes, weights=x, minlength=len(uniques)) / safe_n
+        my = np.bincount(codes, weights=y, minlength=len(uniques)) / safe_n
+        dx = x - mx[codes]
+        dy = y - my[codes]
+        m2x = np.bincount(codes, weights=dx * dx, minlength=len(uniques))
+        m2y = np.bincount(codes, weights=dy * dy, minlength=len(uniques))
+        cxy = np.bincount(codes, weights=dx * dy, minlength=len(uniques))
+        return pa.table({
+            key_col: pa.Array.from_pandas(pd.Series(uniques), type=key_type),
+            "_n": pa.array(n.astype(np.int64)),
+            "_mx": pa.array(mx, pa.float64()),
+            "_my": pa.array(my, pa.float64()),
+            "_m2x": pa.array(m2x, pa.float64()),
+            "_m2y": pa.array(m2y, pa.float64()),
+            "_cxy": pa.array(cxy, pa.float64()),
+        })
+
+    def merge_bucket(group: pd.DataFrame) -> pa.Table:
+        codes, uniques = pd.factorize(group[key_col])
+        order = np.argsort(codes, kind="stable")
+        arrs = {
+            c: group[c].to_numpy()[order].astype(np.float64)
+            for c in ("_n", "_mx", "_my", "_m2x", "_m2y", "_cxy")
+        }
+        starts = np.flatnonzero(np.r_[True, np.diff(codes[order]) != 0])
+        bounds = np.r_[starts, len(codes)]
+        out = {k: np.empty(len(starts)) for k in ("n", "r")}
+        scale = 10.0 ** decimals
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            n = arrs["_n"][lo]; mx = arrs["_mx"][lo]; my = arrs["_my"][lo]
+            m2x = arrs["_m2x"][lo]; m2y = arrs["_m2y"][lo]; cxy = arrs["_cxy"][lo]
+            for j in range(lo + 1, hi):  # Chan parallel comoment merge
+                nb = arrs["_n"][j]
+                tot = n + nb
+                dx = arrs["_mx"][j] - mx
+                dy = arrs["_my"][j] - my
+                m2x += arrs["_m2x"][j] + dx * dx * n * nb / tot
+                m2y += arrs["_m2y"][j] + dy * dy * n * nb / tot
+                cxy += arrs["_cxy"][j] + dx * dy * n * nb / tot
+                mx += dx * nb / tot
+                my += dy * nb / tot
+                n = tot
+            if n < 2 or m2x <= 0 or m2y <= 0:
+                r = np.nan
+            else:
+                r = cxy / np.sqrt(m2x * m2y)
+                r = np.sign(r) * np.floor(abs(r) * scale + 0.5) / scale
+            out["n"][gi] = n
+            out["r"][gi] = r
+        return pa.table({
+            key_col: pa.Array.from_pandas(
+                pd.Series(uniques[codes[order][starts]]), type=key_type
+            ),
+            "n": pa.array(out["n"].astype(np.int64)),
+            "r": pa.array(out["r"], pa.float64()),
+        })
+
+    return (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda b: append_bucket_column(b, [key_col], num_buckets),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )

@@ -389,3 +389,39 @@ def test_grouped_quantiles_cont_matches_numpy():
         for q in (0.25, 0.5, 0.75):
             exp = np.quantile(g.v.to_numpy(), q)
             assert abs(out.loc[(k, q)] - round(exp, 6)) < 1e-9, (k, q)
+
+
+def test_corr_per_key_large_magnitude_stable():
+    """Correlation of unit-scale y against ~1.7e15-scale x (epoch µs):
+    the Chan-merged centered comoments must match numpy's corrcoef
+    where naive E[xy]-E[x]E[y] would cancel catastrophically."""
+    from mtb_validation_service_ray.stages.stats import corr_per_key
+
+    rng = np.random.default_rng(4)
+    n = 30_000
+    x = 1.7e15 + np.sort(rng.uniform(0, 1e12, n))
+    y = 0.5 * (x - x.mean()) / 1e12 + rng.normal(0, 1.0, n)
+    t = pa.table({
+        "k": pa.array(["a"] * n, pa.string()),
+        "x": pa.array(x, pa.float64()),
+        "y": pa.array(y, pa.float64()),
+    })
+    out = (
+        corr_per_key(rd.from_arrow(t).repartition(6), "k", "x", "y",
+                     num_buckets=3)
+        .to_pandas()
+    )
+    exp = np.corrcoef(x, y)[0, 1]
+    assert abs(out.r.iloc[0] - round(exp, 6)) < 2e-6
+    assert out.n.iloc[0] == n
+    # degenerate keys -> null r
+    t2 = pa.table({
+        "k": pa.array(["s", "z", "z"], pa.string()),
+        "x": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "y": pa.array([5.0, 7.0, 7.0], pa.float64()),
+    })
+    out2 = corr_per_key(rd.from_arrow(t2), "k", "x", "y").to_pandas()
+    assert out2[out2.k == "s"].r.isna().all()   # n < 2
+    assert out2[out2.k == "z"].r.isna().all() or not np.isnan(
+        out2[out2.k == "z"].r.iloc[0]
+    )  # zero y-variance pair handled without crashing
