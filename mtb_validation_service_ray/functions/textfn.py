@@ -199,9 +199,17 @@ def fingerprint64(col) -> pa.Array:
 _GRAM_P = np.uint64(0x9E3779B97F4A7C15)
 
 
-def shingle_hashes_batch(texts, k: int = 5) -> list[np.ndarray]:
+def shingle_hashes_batch(
+    texts, k: int = 5, *, char_fallback: bool = True
+) -> list[np.ndarray]:
     """Hashed k-shingles for a BATCH of documents (word n-grams; char
     shingles for short docs) — MinHash/Jaccard input.
+
+    ``char_fallback=False`` disables the short-doc char-gram fallback:
+    a doc with fewer than ``k`` tokens yields an EMPTY hash array —
+    the exact "word n-grams only" semantics SQL ``len(tokens) >= k``
+    reproduces, which eval-set decontamination needs (a 3-token doc
+    shares no 13-gram with anything).
 
     Batched design (VERDICT r2 #6, vectorized further in r4):
     tokenization is Arrow-native (``utf8_lower`` +
@@ -233,7 +241,7 @@ def shingle_hashes_batch(texts, k: int = 5) -> list[np.ndarray]:
 
     # short docs (< k tokens): char k-grams of the normalized text —
     # materialize Python strings for THESE docs only
-    short_idx = np.flatnonzero(lens < k)
+    short_idx = np.flatnonzero(lens < k) if char_fallback else np.empty(0, np.int64)
     short_strs: dict[int, str] = {}
     if len(short_idx):
         joined = pc.binary_join(
@@ -246,6 +254,8 @@ def shingle_hashes_batch(texts, k: int = 5) -> list[np.ndarray]:
     for d in range(n_docs):
         if lens[d] >= k:
             spans.append((offsets[d], lens[d], True))
+        elif not char_fallback:
+            spans.append((offsets[d], 0, True))
         else:
             s = short_strs[d]
             grams = [s[i : i + k] for i in range(max(len(s) - k + 1, 1))]
@@ -265,6 +275,9 @@ def shingle_hashes_batch(texts, k: int = 5) -> list[np.ndarray]:
         seg = h[start : start + n]
         if not is_words:
             out.append(seg)
+            continue
+        if n < k:  # char_fallback=False short doc: no word k-grams
+            out.append(np.empty(0, dtype=np.uint64))
             continue
         win = np.lib.stride_tricks.sliding_window_view(seg, k)
         with np.errstate(over="ignore"):

@@ -12,17 +12,40 @@ the reference validates single records, SURVEY.md §2.3):
      (``polyhash_utf8``), keep the smallest id per fingerprint via the
      bucketed keep-first (stages/dedup.py::dedup_exact).
   3. **near dedup** — MinHash-LSH candidates → exact Jaccard
-     verification at ``jaccard_threshold`` → connected components →
+     verification at ``jaccard_threshold`` → connected components
+     (Dataset-returning arm — the label rows stay in their blocks) →
      every cluster member except the min-id representative is dropped
-     through the Bloom-prefiltered ANTI join (stages/bloomjoin.py), so
-     the loser set never has to fit on the driver.
+     through the Bloom-prefiltered ANTI join (stages/bloomjoin.py).
+     The loser set never exists on the driver: losers are a vectorized
+     ``map_batches`` filter over the label Dataset and feed straight
+     into the anti join, whose right side streams (VERDICT r4 #1).
+
+Scale accounting (VERDICT r4 #2): per-stage drop counts come from a
+zero-CPU counter actor incremented once per batch inside the single
+annotate+filter pass, plus arithmetic over the two counts the pipeline
+needs anyway (the deduped corpus and the loser set) — NOT from
+materializing the full annotated corpus once per stage just to make
+``count()`` cheap.  The only full-corpus pin left is the deduped
+corpus itself, which three downstream consumers (candidate generation,
+pair verification, the anti join's fact side) would otherwise each
+recompute through the dedup shuffle; pass ``spill_dir`` to keep even
+that copy on disk as partitioned Parquet (the resumable 100 TB shape)
+instead of in the object store.
+
+Counter caveat: increments are at-least-once under Ray task *retries*
+(a re-executed batch re-counts).  Retries only happen on worker loss;
+for exact accounting after a failure, re-run the stage from its
+checkpoint (pipelines/checkpoint.py) — the counts here are job
+telemetry, the corpus itself is exact either way.
 
 Every stage is the already-tested distributed operator; this module
-only composes them and accounts per-stage row drops.  Results are
-deterministic for a fixed seed set (MinHash params are seed-pinned);
-the pair CANDIDATE set is probabilistic in principle, so the pipeline
-is verified by pytest goldens (induced duplicates must vanish, clean
-docs must survive) rather than a SQL oracle.
+only composes them.  Results are deterministic for a fixed seed set
+(MinHash params are seed-pinned); the pair CANDIDATE set is
+probabilistic in principle, so the pipeline is verified by pytest
+goldens (induced duplicates must vanish, clean docs must survive)
+rather than a SQL oracle.  Capped collision groups are never silent:
+``stats`` carries ``n_capped_groups`` / ``n_sampled_pairs`` from the
+candidate stage's ``overflow_report``.
 """
 
 from __future__ import annotations
@@ -31,6 +54,7 @@ from dataclasses import dataclass, field
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 
@@ -40,6 +64,24 @@ class CurationResult:
 
     documents: rd.Dataset
     stats: dict[str, int] = field(default_factory=dict)
+
+
+@ray.remote(num_cpus=0)
+class _StageCounters:
+    """Zero-CPU accumulator for per-batch stage counters.  One blocking
+    ``add`` RPC per *batch* (not per row) — sub-millisecond against
+    16k-row batches, and the blocking ``ray.get`` is what guarantees
+    every increment landed before the driver reads the totals."""
+
+    def __init__(self) -> None:
+        self._c: dict[str, int] = {}
+
+    def add(self, **counts: int) -> None:
+        for k, v in counts.items():
+            self._c[k] = self._c.get(k, 0) + int(v)
+
+    def get(self) -> dict[str, int]:
+        return dict(self._c)
 
 
 def curate_documents(
@@ -53,72 +95,96 @@ def curate_documents(
     shingle_k: int = 5,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket_pairs: int | None = None,
+    spill_dir: str | None = None,
 ) -> CurationResult:
     """Run the full curation pipeline; see the module docstring.
 
-    ``languages=None`` skips the language filter.  Returns the
-    surviving documents (original columns) plus a ``stats`` dict with
-    ``n_input, n_quality_dropped, n_language_dropped, n_exact_dropped,
-    n_near_dropped, n_survivors``."""
+    ``languages=None`` skips the language filter.  ``spill_dir`` (a
+    local/shared path) spills the deduped corpus to partitioned Parquet
+    instead of pinning it in the object store — the multi-consumer
+    checkpoint a 100 TB run wants.  Returns the surviving documents
+    (original columns, LAZY — consume with ``write_parquet`` or
+    ``iter_batches``) plus a ``stats`` dict with ``n_input,
+    n_quality_dropped, n_language_dropped, n_exact_dropped,
+    n_near_dropped, n_survivors, n_capped_groups, n_sampled_pairs``."""
     from ..functions.textfn import detect_language, fingerprint64, quality_score
     from ..stages.bloomjoin import bloom_semi_join
     from ..stages.dedup import (
+        capped_group_stats,
         connected_components,
         dedup_exact,
         minhash_lsh_candidates,
+        overflow_report,
         verify_jaccard_pairs,
     )
 
-    stats: dict[str, int] = {}
+    counters = _StageCounters.remote()
+    lang_values = (
+        pa.array(sorted(set(languages)), pa.string())
+        if languages is not None
+        else None
+    )
 
-    def annotate(batch: pa.Table) -> pa.Table:
+    def annotate_filter(batch: pa.Table) -> pa.Table:
+        n_in = batch.num_rows
         q = quality_score(batch.column(text_col))
-        batch = batch.append_column("_quality", q)
-        if languages is not None:
-            batch = batch.append_column(
-                "_lang", detect_language(batch.column(text_col))
+        keep_q = pc.fill_null(pc.greater_equal(q, min_quality), False)
+        batch_q = batch.filter(keep_q)
+        n_qdrop = n_in - batch_q.num_rows
+        if lang_values is not None:
+            keep_l = pc.fill_null(
+                pc.is_in(
+                    detect_language(batch_q.column(text_col)),
+                    value_set=lang_values,
+                ),
+                False,
             )
-        return batch
-
-    annotated = ds.map_batches(
-        annotate, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    stats["n_input"] = annotated.count()
-
-    quality_ok = annotated.filter(
-        expr=f"_quality >= {min_quality!r}"
-    ).materialize()
-    stats["n_quality_dropped"] = stats["n_input"] - quality_ok.count()
-
-    if languages is not None:
-        lang_set = set(languages)
-
-        def lang_filter(batch: pa.Table) -> pa.Table:
-            keep = pc.is_in(
-                batch.column("_lang"),
-                value_set=pa.array(sorted(lang_set), pa.string()),
+            batch_l = batch_q.filter(keep_l)
+        else:
+            batch_l = batch_q
+        ray.get(
+            counters.add.remote(
+                n_input=n_in,
+                n_quality_dropped=n_qdrop,
+                n_language_dropped=batch_q.num_rows - batch_l.num_rows,
             )
-            return batch.filter(pc.fill_null(keep, False))
-
-        in_lang = quality_ok.map_batches(
-            lang_filter, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
-    else:
-        in_lang = quality_ok
-    stats["n_language_dropped"] = quality_ok.count() - in_lang.count()
-
-    def add_fp(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_fp", fingerprint64(batch.column(text_col))
+        )
+        return batch_l.append_column(
+            "_fp", fingerprint64(batch_l.column(text_col))
         )
 
-    exact = dedup_exact(
-        in_lang.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True),
-        ["_fp"],
-        id_col=id_col,
-    ).materialize()
-    stats["n_exact_dropped"] = in_lang.count() - exact.count()
+    filtered = ds.map_batches(
+        annotate_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
 
+    # the deduped corpus feeds THREE consumers (LSH candidates, pair
+    # verification texts, anti-join fact side) — pin it once rather
+    # than re-running the read + filter + dedup shuffle per consumer
+    exact = dedup_exact(filtered, ["_fp"], id_col=id_col)
+    if spill_dir is not None:
+        exact.write_parquet(spill_dir)
+        exact = rd.read_parquet(spill_dir)
+    else:
+        exact = exact.materialize()
+
+    # upstream has now executed exactly once (dedup_exact is a single
+    # linear pipeline into the pin above) — the counters are final
+    stats: dict[str, int] = ray.get(counters.get.remote())
+    stats.setdefault("n_input", 0)
+    stats.setdefault("n_quality_dropped", 0)
+    stats.setdefault("n_language_dropped", 0)
+    n_after_filter = (
+        stats["n_input"]
+        - stats["n_quality_dropped"]
+        - stats["n_language_dropped"]
+    )
+    n_exact_kept = exact.count()
+    stats["n_exact_dropped"] = n_after_filter - n_exact_kept
+
+    from ..stages.dedup import DEFAULT_MAX_BUCKET_PAIRS
+
+    cap = max_bucket_pairs or DEFAULT_MAX_BUCKET_PAIRS
     candidates = minhash_lsh_candidates(
         exact,
         text_col=text_col,
@@ -126,7 +192,14 @@ def curate_documents(
         num_perm=num_perm,
         bands=bands,
         shingle_k=shingle_k,
+        max_bucket_pairs=cap,
     )
+    # skew audit (VERDICT r4 #4): capped collision groups change which
+    # docs survive — surface them instead of discarding the trail.
+    # candidates' pair stream is pinned inside _dedupe_pair_stream, so
+    # this extra consumer re-runs only the tiny sampled-pairs aggregate.
+    stats.update(capped_group_stats(overflow_report(candidates), max_pairs=cap))
+
     verified = verify_jaccard_pairs(
         candidates,
         exact,
@@ -135,28 +208,41 @@ def curate_documents(
         threshold=jaccard_threshold,
         shingle_k=shingle_k,
     )
-    clusters = connected_components(verified)  # (id, cluster) pa.Table
-    losers = clusters.filter(
-        pc.invert(pc.equal(clusters.column("id"), clusters.column("cluster")))
-    ).select(["id"])
-    stats["n_near_dropped"] = losers.num_rows
+    clusters = connected_components(verified, as_dataset=True)
 
-    if losers.num_rows:
+    def losers_only(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.equal(batch.column("id"), batch.column("cluster"))
+        )
+        return batch.filter(pc.fill_null(keep, False)).select(["id"])
+
+    # id-only, O(duplicate docs) — pinned because the anti join's Bloom
+    # build + exact verify read it more than once; never on the driver
+    losers = clusters.map_batches(
+        losers_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_near = losers.count()
+    stats["n_near_dropped"] = n_near
+
+    if n_near:
         survivors = bloom_semi_join(
             exact,
-            rd.from_arrow(losers),
+            losers,
             on=(id_col, "id"),
             mode="anti",
+            expected_keys=n_near,
         )
     else:
         survivors = exact
+    # the anti join removes exactly the loser ids (each present once in
+    # the deduped corpus by construction) — no counting pass needed
+    stats["n_survivors"] = n_exact_kept - n_near
 
     def strip(batch: pa.Table) -> pa.Table:
-        drop = [c for c in ("_quality", "_lang", "_fp") if c in batch.column_names]
+        drop = [c for c in ("_fp",) if c in batch.column_names]
         return batch.drop_columns(drop)
 
     out = survivors.map_batches(
         strip, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    stats["n_survivors"] = out.count()
+    )
     return CurationResult(documents=out, stats=stats)

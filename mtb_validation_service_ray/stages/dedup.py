@@ -133,6 +133,35 @@ def overflow_report(pairs: rd.Dataset) -> pa.Table:
     return pa.concat_tables(tabs, promote_options="default")
 
 
+def capped_group_stats(
+    report: pa.Table, *, max_pairs: int = DEFAULT_MAX_BUCKET_PAIRS
+) -> dict[str, int]:
+    """Fold an ``overflow_report`` table into the two headline audit
+    numbers a pipeline should surface (VERDICT r4 #4):
+
+    * ``n_sampled_pairs`` — candidate pairs that came out of a capped
+      (star/star+ring-sampled) collision group;
+    * ``n_capped_groups`` — how many collision groups were capped,
+      recovered from the report because ``_group_pair_indices`` emits a
+      *deterministic* pair count per group size (k−1 or 2k−3).  Exact
+      unless two same-size capped groups emit overlapping pairs that the
+      pair dedupe collapses (then a slight undercount — each observed
+      size still counts at least one group).
+
+    ``max_pairs`` must match the ``max_bucket_pairs`` the candidate
+    stage ran with."""
+    sizes = report.column("n_members").to_pylist()
+    emitted = report.column("n_pairs_emitted").to_pylist()
+    n_groups = 0
+    for k, n_pairs in zip(sizes, emitted):
+        per_group = len(_group_pair_indices(int(k), max_pairs)[0])
+        n_groups += max(1, int(round(n_pairs / per_group)))
+    return {
+        "n_capped_groups": n_groups,
+        "n_sampled_pairs": int(sum(emitted)),
+    }
+
+
 # --- exact dedup -----------------------------------------------------------
 
 
@@ -690,7 +719,8 @@ def connected_components(
     max_rounds: int | None = None,
     strategy: str = "auto",
     driver_max_pairs: int = DRIVER_CC_MAX_PAIRS,
-) -> pa.Table:
+    as_dataset: bool = False,
+) -> pa.Table | rd.Dataset:
     """Cluster ids for near-duplicate groups: iterative min-label
     propagation over the verified candidate pair set.
 
@@ -704,6 +734,16 @@ def connected_components(
       * ``"auto"`` (default) — pick by pair count vs ``driver_max_pairs``
         (the same count-gated switch as verdicts' adaptive reduce).
 
+    ``as_dataset=True`` returns the (id, cluster) labels as a Dataset
+    whose blocks stay in the object store — label rows are O(nodes in
+    verified pairs), which on a dup-heavy corpus is corpus-order, so a
+    consumer that only needs to FILTER the labels (e.g. the curation
+    pipeline's loser set) must never funnel them through the driver
+    (VERDICT r4 #1).  On the distributed arm the blocks are the
+    fixpoint's own output and the driver only ever sees per-block label
+    SUMS; the driver arm is count-gated small by construction, so
+    wrapping its table is bounded by ``driver_max_pairs``.
+
     Returns (id, cluster) with cluster = min id of the component."""
     if strategy == "auto":
         if isinstance(pairs, rd.Dataset):
@@ -715,9 +755,21 @@ def connected_components(
         )
         strategy = "driver" if n_pairs <= driver_max_pairs else "distributed"
     if strategy == "distributed":
-        return _cc_distributed(
+        labels = _cc_distributed(
             pairs, a_col=a_col, b_col=b_col, max_rounds=max_rounds
         )
+        if as_dataset:
+            return labels
+        tabs = [
+            b
+            for b in labels.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
+            if b.num_rows
+        ]
+        if not tabs:
+            sch = labels.schema()
+            sch = getattr(sch, "base_schema", sch)
+            return sch.empty_table()
+        return pa.concat_tables(tabs)
 
     if isinstance(pairs, pa.Table):
         t = pairs
@@ -730,8 +782,9 @@ def connected_components(
                            b_col: pa.array([], pa.int64())})
         )
     if t.num_rows == 0:
-        return pa.table({"id": pa.array([], pa.int64()),
-                         "cluster": pa.array([], pa.int64())})
+        empty = pa.table({"id": pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64())})
+        return rd.from_arrow(empty) if as_dataset else empty
     a = t.column(a_col).to_numpy(zero_copy_only=False)
     b = t.column(b_col).to_numpy(zero_copy_only=False)
     ids = np.unique(np.concatenate([a, b]))
@@ -762,12 +815,13 @@ def connected_components(
     # id dtype follows the input pair columns (int for event graphs,
     # string for document ids) — int64 was hardcoded here before r4
     id_type = t.schema.field(a_col).type
-    return pa.table(
+    out = pa.table(
         {
             "id": pa.array(ids, id_type),
             "cluster": pa.array(ids[label], id_type),
         }
     )
+    return rd.from_arrow(out) if as_dataset else out
 
 
 def _cc_distributed(
@@ -776,7 +830,7 @@ def _cc_distributed(
     a_col: str,
     b_col: str,
     max_rounds: int | None,
-) -> pa.Table:
+) -> rd.Dataset:
     """Distributed min-label propagation, JOIN-FREE: each round routes
     label rows and symmetric edge rows into the same hash bucket (one
     shuffle) and a vectorized pandas merge inside each bucket produces
@@ -794,8 +848,11 @@ def _cc_distributed(
     partial sums — no int64 overflow at any scale) is strictly
     decreasing until convergence; an unchanged sum IS the fixpoint.
     Per-round cost: one bucket shuffle + one groupby over (node,
-    label)/(edge) rows — never the full corpus, and nothing
-    driver-side until the final (one row per node) collect."""
+    label)/(edge) rows — never the full corpus, and NOTHING ever
+    driver-side: the fixpoint check folds per-block label sums and the
+    result is returned as a Dataset over the converged label blocks
+    (VERDICT r4 #1 — the former tail collected every (id, cluster) row
+    through one ``pa.concat_tables``)."""
     import ray
 
     pairs_ds = pairs if isinstance(pairs, rd.Dataset) else rd.from_arrow(pairs)
@@ -946,16 +1003,16 @@ def _cc_distributed(
                 f"connected_components did not converge in {max_rounds} rounds"
             )
 
-    out_tabs = [
-        b
-        for b in labels.iter_batches(batch_format="pyarrow", batch_size=1 << 16)
-        if b.num_rows and "id" in b.column_names
-    ]
-    if not out_tabs:
-        return pa.table({"id": pa.array([], id_type),
-                         "cluster": pa.array([], id_type)})
-    out = pa.concat_tables(out_tabs)
-    return pa.table({"id": out.column("id"), "cluster": out.column("label")})
+    def to_labels(b: pa.Table) -> pa.Table:
+        # normalize every converged block (incl. schema-less empties) to
+        # typed (id, cluster) — the labels stay in their blocks
+        if b.num_rows == 0 or "id" not in b.column_names:
+            return pa.table({"id": pa.array([], id_type),
+                             "cluster": pa.array([], id_type)})
+        return pa.table({"id": b.column("id").cast(id_type),
+                         "cluster": b.column("label").cast(id_type)})
+
+    return labels.map_batches(to_labels, batch_format="pyarrow")
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -55,6 +55,75 @@ def test_curate_documents_golden():
         s["n_input"] - s["n_quality_dropped"] - s["n_language_dropped"]
         - s["n_exact_dropped"] - s["n_near_dropped"] == s["n_survivors"]
     )
+    # no collision group was anywhere near the cap on this tiny corpus
+    assert s["n_capped_groups"] == 0
+    assert s["n_sampled_pairs"] == 0
+
+
+def test_curate_cc_stays_distributed(monkeypatch):
+    """The near-dup tail must never funnel label rows through the
+    driver: curate asks connected_components for a DATASET and derives
+    the loser set with a map_batches filter — the driver only ever
+    receives counts (VERDICT r4 #1)."""
+    import mtb_validation_service_ray.stages.dedup as dd
+
+    seen = {}
+    orig = dd.connected_components
+
+    def spy(pairs, **kw):
+        seen["as_dataset"] = kw.get("as_dataset", False)
+        out = orig(pairs, **kw)
+        seen["returns_dataset"] = isinstance(out, rd.Dataset)
+        return out
+
+    monkeypatch.setattr(dd, "connected_components", spy)
+    res = curate_documents(
+        rd.from_arrow(_corpus()).repartition(4), jaccard_threshold=0.7
+    )
+    assert seen == {"as_dataset": True, "returns_dataset": True}
+    assert res.stats["n_near_dropped"] == 10
+    assert all(isinstance(v, int) for v in res.stats.values())
+
+
+def test_curate_spill_dir_parquet_arm(tmp_path):
+    """spill_dir keeps the multi-consumer deduped corpus on disk
+    (partitioned Parquet) instead of the object store — same goldens."""
+    res = curate_documents(
+        rd.from_arrow(_corpus()).repartition(4),
+        jaccard_threshold=0.7,
+        spill_dir=str(tmp_path / "exact"),
+    )
+    assert set(res.documents.to_pandas().doc_id) == {
+        f"d{i:03d}a" for i in range(40)
+    }
+    assert res.stats["n_survivors"] == 40
+    assert (tmp_path / "exact").exists()
+
+
+def test_curate_capped_group_audit():
+    """A planted hot near-dup cluster pushed past max_bucket_pairs must
+    (a) still dedupe to its min-id representative (the star keeps
+    connectivity) and (b) surface in stats, never silently
+    (VERDICT r4 #4)."""
+    rng = np.random.default_rng(5)
+    base = " ".join(rng.choice(WORDS, 60))
+    ids = [f"h{i:02d}" for i in range(12)]
+    docs = [base + f" variant{i}" for i in range(12)]
+    for i in range(5):  # clean bystanders
+        ids.append(f"c{i:02d}")
+        docs.append(" ".join(rng.choice(WORDS, 60)) + f" clean{i}")
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
+    res = curate_documents(
+        rd.from_arrow(t).repartition(3),
+        jaccard_threshold=0.7,
+        max_bucket_pairs=3,
+    )
+    s = res.stats
+    assert s["n_capped_groups"] >= 1
+    assert s["n_sampled_pairs"] > 0
+    assert s["n_near_dropped"] == 11
+    surv = set(res.documents.to_pandas().doc_id)
+    assert surv == {"h00"} | {f"c{i:02d}" for i in range(5)}
 
 
 def test_curate_language_filter():
