@@ -1076,6 +1076,34 @@ def q_dedup_duplicate_clusters(sf_dir: str):
     return clusters.sort_by([("id", "ascending")])
 
 
+# --- tokenizer parity shim (ADVICE r4 / VERDICT r4 #5) ----------------------
+# The engine tokenizes Unicode-aware (Arrow utf8_split_whitespace, Python
+# str.split); DuckDB oracles split on RE2 '\s+' (ASCII [\t\n\f\r ]).  The
+# text-oracle queries below normalize every whitespace char OUTSIDE RE2's
+# class to a plain space on BOTH sides before tokenizing, so the gate stays
+# green on any fixture — not just the (verified pure-ASCII) driver one.
+# The set = Python str.split() whitespace minus RE2 \s.
+_NON_RE2_WS = (
+    "\x0b\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+_WS_NORM_RE = "[" + _NON_RE2_WS + "]"
+# the same class in RE2 hex-escape form, safe to embed in a SQL literal
+_WS_NORM_SQL = (
+    "[\\x{000B}\\x{001C}-\\x{001F}\\x{0085}\\x{00A0}\\x{1680}"
+    "\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+)
+
+
+def _ws_norm_batch(batch: pa.Table) -> pa.Table:
+    i = batch.column_names.index("text")
+    return batch.set_column(
+        i, "text",
+        pc.replace_substring_regex(batch.column("text"), _WS_NORM_RE, " "),
+    )
+
+
 def q_text_jaccard_adjacent(sf_dir: str):
     """Exact n-gram Jaccard VERIFICATION kernel, hash-checked: the pair
     set is deterministic and SQL-derivable (adjacent doc ids where both
@@ -1084,10 +1112,15 @@ def q_text_jaccard_adjacent(sf_dir: str):
     engine's ``verify_jaccard_pairs`` must match it value-for-value.
     Pair derivation is one aggregate (each eligible doc d votes for
     pairs (d−1, d) and (d, d+1); a pair exists when it gets both
-    votes) — no driver-side id collection."""
+    votes) — no driver-side id collection.  Text is whitespace-
+    normalized on both sides (``_ws_norm_batch`` / ``_WS_NORM_SQL``) so
+    the engine's Unicode tokenizer and the oracle's RE2 split agree on
+    any fixture."""
     from ..stages.dedup import verify_jaccard_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _ws_norm_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     def votes(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -1151,17 +1184,18 @@ def q_text_jaccard_adjacent(sf_dir: str):
     ).sort_by("doc_a")
 
 
-# Tokenizer parity note (ADVICE r3): the engine tokenizes with Python
-# str.lower()/str.split() (Unicode-aware); this oracle uses RE2 '\\s+'
-# and SQL lower() (ASCII-oriented).  They agree because the driver's
-# document fixture is pure ASCII (verified: 0 non-ASCII chars at sf0.01
-# and sf0.1) — on text containing U+00A0-style Unicode whitespace the
-# engine's answer would differ from the oracle while still being the
-# more correct tokenization; do not "fix" the engine to ASCII split.
+# Tokenizer parity (ADVICE r3/r4, pinned in r5): the engine tokenizes
+# Unicode-aware, the oracle splits on RE2 '\\s+' (ASCII).  Both sides now
+# normalize the non-RE2 whitespace class to plain spaces first
+# (_ws_norm_batch in the query / _WS_NORM_SQL here), so they agree on ANY
+# fixture — a U+00A0 in a future document can no longer fail a correct
+# engine.  Residual caveat: SQL lower() vs Arrow utf8_lower differ on
+# non-ASCII LETTERS only (shared by every text oracle in this catalog).
 _JACCARD_ADJACENT_ORACLE = """
 WITH toks AS (
     SELECT doc_id,
-           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+           string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '__WS__', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
     FROM documents WHERE text IS NOT NULL
 ),
 ok AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 5),
@@ -1181,7 +1215,7 @@ SELECT doc_a, doc_b,
        ROUND(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
              / len(list_distinct(list_concat(ga, gb))), 6) AS jaccard
 FROM pairs ORDER BY doc_a
-"""
+""".replace("__WS__", _WS_NORM_SQL)
 
 
 def q_text_fingerprint_groups(sf_dir: str):
@@ -2057,6 +2091,111 @@ def q_curate_documents(sf_dir: str):
     return _as_table(
         res.documents.map_batches(ids_only, batch_format="pyarrow")
     ).sort_by([("doc_id", "ascending")])
+
+
+def _decontam_sides(sf_dir: str):
+    """documents split into (train, eval): eval = doc_id % 20 == 0.
+    Both sides whitespace-normalized for oracle tokenizer parity."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _ws_norm_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def side(want_eval: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 20 == 0) if want_eval else (ids % 20 != 0)
+            return batch.filter(pa.array(m))
+
+        return fn
+
+    train = ds.map_batches(side(False), batch_format="pyarrow", zero_copy_batch=True)
+    ev = ds.map_batches(side(True), batch_format="pyarrow", zero_copy_batch=True)
+    return train, ev
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Eval-set decontamination, FLAG mode, hash-checked: eval set =
+    documents with doc_id % 20 == 0, training side = the rest; a train
+    doc is contaminated when it shares ANY word 8-gram with any eval
+    doc.  Engine matches gram HASHES (rolling polynomial over token
+    hashes — collision ~2^-64), the oracle matches the gram STRINGS;
+    every train doc comes back with its 0/1 flag so the value hash
+    covers the negatives too (stages/decontaminate.py, broadcast arm)."""
+    from ..stages.decontaminate import decontaminate
+
+    train, ev = _decontam_sides(sf_dir)
+    flagged = decontaminate(train, ev, n=8, mode="flag")
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "contaminated": batch.column("contaminated").cast(pa.int64()),
+            }
+        )
+
+    return _as_table(
+        flagged.map_batches(out, batch_format="pyarrow")
+    ).sort_by([("doc_id", "ascending")])
+
+
+def q_decontaminate_docs_drop(sf_dir: str):
+    """Eval-set decontamination, DROP mode, hash-checked — and forced
+    onto the BLOOM arm (broadcast budget 0) so the scale path (bitmap
+    build → per-gram prefilter → exact semi-join verify → streaming
+    anti join) is the one the oracle certifies."""
+    from ..stages.decontaminate import decontaminate
+
+    train, ev = _decontam_sides(sf_dir)
+    kept = decontaminate(
+        train, ev, n=8, mode="drop", broadcast_max_bytes=0, fp_rate=1e-3
+    )
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id").cast(pa.int64())})
+
+    return _as_table(
+        kept.map_batches(out, batch_format="pyarrow")
+    ).sort_by([("doc_id", "ascending")])
+
+
+_DECONTAM_CTE = """
+toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '__WS__', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 6),
+                                 i -> array_to_string(t[i:i+7], ' '))) AS g
+    FROM toks WHERE len(t) >= 8
+),
+hit AS (
+    SELECT DISTINCT tr.doc_id
+    FROM grams tr
+    WHERE tr.doc_id % 20 <> 0
+      AND tr.g IN (SELECT g FROM grams WHERE doc_id % 20 = 0)
+)
+""".replace("__WS__", _WS_NORM_SQL)
+
+_DECONTAM_FLAG_ORACLE = f"""
+WITH {_DECONTAM_CTE}
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS contaminated
+FROM documents d LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+ORDER BY d.doc_id
+"""
+
+_DECONTAM_DROP_ORACLE = f"""
+WITH {_DECONTAM_CTE}
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 20 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+ORDER BY d.doc_id
+"""
 
 
 def q_join_customer_orders_full(sf_dir: str):
@@ -3175,6 +3314,8 @@ QUERIES = {
     "events_string_agg": q_events_string_agg,
     "join_customer_orders_full": q_join_customer_orders_full,
     "curate_documents_corpus": q_curate_documents,
+    "decontaminate_docs": q_decontaminate_docs,
+    "decontaminate_docs_drop": q_decontaminate_docs_drop,
     "events_value_quantiles_cont": q_events_value_quantiles_cont,
     "events_value_histogram": q_events_value_histogram,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
@@ -3210,6 +3351,8 @@ ORACLE_SQL["image_validate_meta"] = _image_meta_oracle_sql()
 ORACLE_SQL["image_verdict_meta"] = _image_verdict_oracle_sql()
 ORACLE_SQL["dedup_cc_pairs"] = _CC_PAIRS_ORACLE
 ORACLE_SQL["text_jaccard_adjacent"] = _JACCARD_ADJACENT_ORACLE
+ORACLE_SQL["decontaminate_docs"] = _DECONTAM_FLAG_ORACLE
+ORACLE_SQL["decontaminate_docs_drop"] = _DECONTAM_DROP_ORACLE
 ORACLE_SQL["text_fingerprint_groups"] = _FINGERPRINT_GROUPS_ORACLE
 ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()
 ORACLE_SQL["image_phash_dupgroups"] = f"""
