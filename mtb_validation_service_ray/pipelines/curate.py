@@ -97,6 +97,7 @@ def curate_documents(
     bands: int = 16,
     max_bucket_pairs: int | None = None,
     spill_dir: str | None = None,
+    cc_strategy: str = "auto",
 ) -> CurationResult:
     """Run the full curation pipeline; see the module docstring.
 
@@ -208,7 +209,9 @@ def curate_documents(
         threshold=jaccard_threshold,
         shingle_k=shingle_k,
     )
-    clusters = connected_components(verified, as_dataset=True)
+    clusters = connected_components(
+        verified, as_dataset=True, strategy=cc_strategy
+    )
 
     def losers_only(batch: pa.Table) -> pa.Table:
         keep = pc.invert(

@@ -945,13 +945,25 @@ def _cc_distributed(
     def label_sum(ds: rd.Dataset) -> int:
         # per-block partial sums computed IN the cluster; the driver
         # folds one small decimal row per block (Python big ints — no
-        # int64 overflow at any scale, no per-round row streaming)
+        # int64 overflow at any scale, no per-round row streaming).
+        # Integer ids: the exact label sum, strictly decreasing until
+        # convergence (labels are monotone non-increasing).  String /
+        # binary ids (document graphs): the big-int sum of per-label
+        # 64-bit hashes — a multiset fingerprint.  Any label change is
+        # a strict per-node DECREASE with no increases elsewhere, so
+        # the label multiset must change too; the fingerprint detects
+        # that up to a ~2^-64-per-round hash-sum collision (the same
+        # tolerance as the engine's gram/fingerprint hashing).
         def partial(b: pa.Table) -> pa.Table:
             if b.num_rows == 0 or "label" not in b.column_names:
                 return pa.table({"s": pa.array([], pa.string())})
-            # exact Python big-int block sum, shipped as a string
-            v = b.column("label").to_pylist()
-            return pa.table({"s": pa.array([str(sum(v))], pa.string())})
+            col = b.column("label")
+            if pa.types.is_integer(col.type):
+                s = sum(col.to_pylist())  # exact big-int block sum
+            else:
+                h = hash64(col.to_numpy(zero_copy_only=False))
+                s = int(h.astype(object).sum())
+            return pa.table({"s": pa.array([str(s)], pa.string())})
 
         total = 0
         for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(

@@ -85,6 +85,30 @@ def test_curate_cc_stays_distributed(monkeypatch):
     assert all(isinstance(v, int) for v in res.stats.values())
 
 
+def test_curate_distributed_cc_arm(monkeypatch):
+    """Force the DISTRIBUTED connected-components arm through the full
+    curate path: the label Dataset comes straight from the fixpoint's
+    blocks (no driver collect anywhere) and the goldens are unchanged."""
+    import mtb_validation_service_ray.stages.dedup as dd
+
+    orig = dd.connected_components
+
+    def force_distributed(pairs, **kw):
+        kw["strategy"] = "distributed"
+        out = orig(pairs, **kw)
+        assert isinstance(out, rd.Dataset)
+        return out
+
+    monkeypatch.setattr(dd, "connected_components", force_distributed)
+    res = curate_documents(
+        rd.from_arrow(_corpus()).repartition(4), jaccard_threshold=0.7
+    )
+    assert res.stats["n_near_dropped"] == 10
+    assert set(res.documents.to_pandas().doc_id) == {
+        f"d{i:03d}a" for i in range(40)
+    }
+
+
 def test_curate_spill_dir_parquet_arm(tmp_path):
     """spill_dir keeps the multi-consumer deduped corpus on disk
     (partitioned Parquet) instead of the object store — same goldens."""

@@ -114,6 +114,34 @@ def test_connected_components_distributed_equivalence():
     assert set(drv[drv.id.isin([400, 401])].cluster) == {400}
 
 
+def test_connected_components_string_ids_distributed():
+    """String document ids through BOTH arms (the distributed fixpoint
+    detector used an integer label sum until r5 — it must fingerprint
+    non-numeric labels instead of crashing), plus the as_dataset
+    contract on each arm."""
+    import ray.data as rd
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(["a1", "b1", "b2", "z9"]),
+            "doc_b": pa.array(["a2", "b2", "b3", "z8"]),
+        }
+    )
+    drv = connected_components(pairs, strategy="driver").to_pandas()
+    dist = connected_components(pairs, strategy="distributed").to_pandas()
+    drv = drv.sort_values("id").reset_index(drop=True)
+    dist = dist.sort_values("id").reset_index(drop=True)
+    assert drv.equals(dist)
+    m = dict(zip(drv.id, drv.cluster))
+    assert m == {"a1": "a1", "a2": "a1", "b1": "b1", "b2": "b1",
+                 "b3": "b1", "z8": "z8", "z9": "z8"}
+    for strat in ("driver", "distributed"):
+        ds = connected_components(pairs, strategy=strat, as_dataset=True)
+        assert isinstance(ds, rd.Dataset)
+        got = ds.to_pandas().sort_values("id").reset_index(drop=True)
+        assert got.equals(drv)
+
+
 def test_cc_strategies_agree_on_event_pair_graph():
     """Driver and distributed CC agree on the same SQL-derivable edge
     set the dedup_cc_pairs oracle query uses (sf0.001 events)."""
