@@ -86,6 +86,45 @@ def test_decontaminate_no_overlap_noop():
     assert len(kept) == 30
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_W = ["aa", "bb", "cc", "dd"]
+_DOC = st.lists(st.sampled_from(_W), min_size=0, max_size=9).map(" ".join)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    train=st.lists(_DOC, min_size=1, max_size=8),
+    evals=st.lists(_DOC, min_size=1, max_size=3),
+)
+def test_decontaminate_matches_bruteforce(train, evals):
+    """Property: flag mode over a tiny 4-word vocabulary (dense 3-gram
+    collisions by construction) matches a per-doc set-intersection
+    reference exactly."""
+    n = 3
+
+    def grams(text):
+        toks = text.lower().split()
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ev_grams = set().union(*(grams(t) for t in evals)) if evals else set()
+    expect = [bool(grams(t) & ev_grams) for t in train]
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(train)), pa.int64()),
+                  "text": pa.array(train)})
+    )
+    ev = rd.from_arrow(pa.table({"text": pa.array(evals)}))
+    got = (
+        decontaminate(ds, ev, n=n, mode="flag")
+        .to_pandas()
+        .sort_values("doc_id")["contaminated"]
+        .tolist()
+    )
+    assert got == expect
+
+
 def test_eval_gram_hashes_short_docs_empty():
     ev = rd.from_arrow(pa.table({"text": pa.array(["too short", None])}))
     out = eval_gram_hashes(ev, n=13).to_pandas()
