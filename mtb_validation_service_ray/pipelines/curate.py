@@ -7,7 +7,10 @@ the reference validates single records, SURVEY.md §2.3):
 
   1. **annotate + filter** — quality score and language-ID, both
      vectorized Arrow kernels (functions/textfn.py); drop low-quality
-     and out-of-language rows in the same pass.
+     and out-of-language rows in the same pass.  Optional eval-set
+     DECONTAMINATION (``decontaminate_against=``) probes the broadcast
+     eval gram set inside this same pass (stages/decontaminate.py
+     semantics; byte-gated fallback to the standalone Bloom operator).
   2. **exact dedup** — case/whitespace-normalized 64-bit fingerprint
      (``polyhash_utf8``), keep the smallest id per fingerprint via the
      bucketed keep-first (stages/dedup.py::dedup_exact).
@@ -98,17 +101,34 @@ def curate_documents(
     max_bucket_pairs: int | None = None,
     spill_dir: str | None = None,
     cc_strategy: str = "auto",
+    decontaminate_against: rd.Dataset | None = None,
+    decontam_n: int = 13,
+    decontam_broadcast_max_bytes: int = 64 << 20,
 ) -> CurationResult:
     """Run the full curation pipeline; see the module docstring.
 
     ``languages=None`` skips the language filter.  ``spill_dir`` (a
     local/shared path) spills the deduped corpus to partitioned Parquet
     instead of pinning it in the object store — the multi-consumer
-    checkpoint a 100 TB run wants.  Returns the surviving documents
-    (original columns, LAZY — consume with ``write_parquet`` or
-    ``iter_batches``) plus a ``stats`` dict with ``n_input,
-    n_quality_dropped, n_language_dropped, n_exact_dropped,
-    n_near_dropped, n_survivors, n_capped_groups, n_sampled_pairs``."""
+    checkpoint a 100 TB run wants.
+
+    ``decontaminate_against`` adds eval-set decontamination (drop any
+    doc sharing a word ``decontam_n``-gram with the given corpus —
+    stages/decontaminate.py semantics) between the quality/language
+    filter and dedup.  While the eval gram set fits
+    ``decontam_broadcast_max_bytes`` (benchmarks are small — the
+    overwhelmingly common case) the membership probe runs INSIDE the
+    same fused annotate+filter pass: zero extra passes, exact counts.
+    A larger eval set falls back to the standalone Bloom-arm operator,
+    which scans its input twice — the filtered corpus is then pinned
+    (or spilled to ``<spill_dir>_prefilter``) so the counter actor
+    still sees every batch exactly once.
+
+    Returns the surviving documents (original columns, LAZY — consume
+    with ``write_parquet`` or ``iter_batches``) plus a ``stats`` dict
+    with ``n_input, n_quality_dropped, n_language_dropped,
+    n_decontam_dropped, n_exact_dropped, n_near_dropped, n_survivors,
+    n_capped_groups, n_sampled_pairs``."""
     from ..functions.textfn import detect_language, fingerprint64, quality_score
     from ..stages.bloomjoin import bloom_semi_join
     from ..stages.dedup import (
@@ -127,6 +147,35 @@ def curate_documents(
         else None
     )
 
+    # eval-set decontamination setup: build the (distinct-per-batch)
+    # gram-hash set once; the common small case broadcasts a sorted
+    # uint64 array probed inside the fused pass below
+    ev_ref = None
+    decontam_fallback = False
+    if decontaminate_against is not None:
+        import numpy as np
+
+        from ..stages.decontaminate import eval_gram_hashes
+
+        ev_grams = eval_gram_hashes(
+            decontaminate_against, text_col=text_col, n=decontam_n
+        ).materialize()
+        if (ev_grams.size_bytes() or 0) <= decontam_broadcast_max_bytes:
+            tabs = [t for t in ray.get(ev_grams.to_arrow_refs()) if t.num_rows]
+            ev = (
+                np.unique(
+                    np.concatenate(
+                        [t.column("_g").to_numpy(zero_copy_only=False)
+                         for t in tabs]
+                    ).view(np.uint64)
+                )
+                if tabs
+                else np.empty(0, dtype=np.uint64)
+            )
+            ev_ref = ray.put(ev)
+        else:
+            decontam_fallback = True
+
     def annotate_filter(batch: pa.Table) -> pa.Table:
         n_in = batch.num_rows
         q = quality_score(batch.column(text_col))
@@ -144,11 +193,33 @@ def curate_documents(
             batch_l = batch_q.filter(keep_l)
         else:
             batch_l = batch_q
+        n_ldrop = batch_q.num_rows - batch_l.num_rows
+        n_ddrop = 0
+        if ev_ref is not None:
+            import numpy as np
+
+            from ..stages.decontaminate import _gram_flat, _per_doc_any
+
+            ev_sorted = ray.get(ev_ref)
+            flat, offsets = _gram_flat(
+                batch_l.column(text_col).to_pylist(), decontam_n
+            )
+            if len(ev_sorted) and len(flat):
+                idx = np.minimum(
+                    np.searchsorted(ev_sorted, flat), len(ev_sorted) - 1
+                )
+                flags = ev_sorted[idx] == flat
+            else:
+                flags = np.zeros(len(flat), dtype=bool)
+            hit = _per_doc_any(flags, offsets)
+            batch_l = batch_l.filter(pa.array(~hit))
+            n_ddrop = int(hit.sum())
         ray.get(
             counters.add.remote(
                 n_input=n_in,
                 n_quality_dropped=n_qdrop,
-                n_language_dropped=batch_q.num_rows - batch_l.num_rows,
+                n_language_dropped=n_ldrop,
+                n_decontam_dropped=n_ddrop,
             )
         )
         return batch_l.append_column(
@@ -158,6 +229,36 @@ def curate_documents(
     filtered = ds.map_batches(
         annotate_filter, batch_format="pyarrow", zero_copy_batch=True
     )
+
+    if decontam_fallback:
+        from ..stages.decontaminate import decontaminate
+
+        # the Bloom-arm operator scans its input twice (maybes +
+        # definite keeps) — pin the filtered corpus so the counters
+        # above saw every batch exactly once
+        if spill_dir is not None:
+            pre = spill_dir.rstrip("/") + "_prefilter"
+            filtered.write_parquet(pre)
+            filtered = rd.read_parquet(pre)
+        else:
+            filtered = filtered.materialize()
+        cleaned = decontaminate(
+            filtered,
+            decontaminate_against,
+            id_col=id_col,
+            text_col=text_col,
+            n=decontam_n,
+            mode="drop",
+            broadcast_max_bytes=decontam_broadcast_max_bytes,
+        )
+
+        def count_through(batch: pa.Table) -> pa.Table:
+            ray.get(counters.add.remote(n_after_decontam=batch.num_rows))
+            return batch
+
+        filtered = cleaned.map_batches(
+            count_through, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     # the deduped corpus feeds THREE consumers (LSH candidates, pair
     # verification texts, anti-join fact side) — pin it once rather
@@ -175,13 +276,22 @@ def curate_documents(
     stats.setdefault("n_input", 0)
     stats.setdefault("n_quality_dropped", 0)
     stats.setdefault("n_language_dropped", 0)
+    stats.setdefault("n_decontam_dropped", 0)
     n_after_filter = (
         stats["n_input"]
         - stats["n_quality_dropped"]
         - stats["n_language_dropped"]
     )
+    if decontam_fallback:
+        # the fused pass couldn't see the Bloom-arm drops — derive them
+        # from the pass-through count on the decontaminated stream
+        # key absent ⇔ zero rows survived (no batch flowed through)
+        stats["n_decontam_dropped"] = n_after_filter - stats.pop(
+            "n_after_decontam", 0
+        )
+    n_after_decontam = n_after_filter - stats["n_decontam_dropped"]
     n_exact_kept = exact.count()
-    stats["n_exact_dropped"] = n_after_filter - n_exact_kept
+    stats["n_exact_dropped"] = n_after_decontam - n_exact_kept
 
     from ..stages.dedup import DEFAULT_MAX_BUCKET_PAIRS
 

@@ -124,6 +124,41 @@ def test_curate_spill_dir_parquet_arm(tmp_path):
     assert (tmp_path / "exact").exists()
 
 
+def test_curate_with_decontamination():
+    """decontaminate_against drops docs overlapping the eval set inside
+    the fused filter pass (broadcast arm) — and the forced Bloom-arm
+    fallback produces identical survivors and stats."""
+    corpus = _corpus()
+    # eval set = the full text of two clean originals
+    texts = corpus.column("text").to_pylist()
+    ids = corpus.column("doc_id").to_pylist()
+    ev = pa.table(
+        {"text": pa.array([texts[ids.index("d030a")], texts[ids.index("d031a")]])}
+    )
+    results = {}
+    for arm, gate in (("broadcast", 64 << 20), ("bloom", 0)):
+        res = curate_documents(
+            rd.from_arrow(corpus).repartition(4),
+            jaccard_threshold=0.7,
+            decontaminate_against=rd.from_arrow(ev),
+            decontam_n=13,
+            decontam_broadcast_max_bytes=gate,
+        )
+        surv = set(res.documents.to_pandas().doc_id)
+        results[arm] = (surv, dict(res.stats))
+        s = res.stats
+        assert s["n_decontam_dropped"] == 2
+        assert s["n_survivors"] == 38
+        assert surv == {f"d{i:03d}a" for i in range(40)} - {"d030a", "d031a"}
+        # accounting still closes with the extra stage
+        assert (
+            s["n_input"] - s["n_quality_dropped"] - s["n_language_dropped"]
+            - s["n_decontam_dropped"] - s["n_exact_dropped"]
+            - s["n_near_dropped"] == s["n_survivors"]
+        )
+    assert results["broadcast"] == results["bloom"]
+
+
 def test_curate_capped_group_audit():
     """A planted hot near-dup cluster pushed past max_bucket_pairs must
     (a) still dedupe to its min-id representative (the star keeps
