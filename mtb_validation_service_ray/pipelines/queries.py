@@ -2198,6 +2198,48 @@ ORDER BY d.doc_id
 """
 
 
+def q_pack_documents_seqs(sf_dir: str):
+    """Sequence packing, hash-checked: assign every document to a
+    fixed 512-token training sequence via the distributed ordered
+    prefix sum (stages/packing.py — range-slab two-level scan, no
+    global sort); the oracle recomputes the exclusive running sum with
+    a SQL window over the same regex token counts."""
+    from ..stages.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_sequences(ds, budget=512, order_col="doc_id")
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+                "seq_id": batch.column("seq_id").cast(pa.int64()),
+            }
+        )
+
+    return _as_table(out.map_batches(cast, batch_format="pyarrow")).sort_by(
+        [("doc_id", "ascending")]
+    )
+
+
+_PACK_SEQS_ORACLE = f"""
+WITH nt AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(coalesce(text, ''),
+                                       '{{TOKEN_PATTERN}}')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // 512 AS BIGINT) AS seq_id
+FROM nt ORDER BY doc_id
+""".replace("{TOKEN_PATTERN}", TOKEN_PATTERN)
+
+
 def q_join_customer_orders_full(sf_dir: str):
     """FULL OUTER enrichment: high-balance customers x high-value order
     counts — Ray's native hash-partitioned full_outer join (key column
@@ -3316,6 +3358,7 @@ QUERIES = {
     "curate_documents_corpus": q_curate_documents,
     "decontaminate_docs": q_decontaminate_docs,
     "decontaminate_docs_drop": q_decontaminate_docs_drop,
+    "pack_documents_seqs": q_pack_documents_seqs,
     "events_value_quantiles_cont": q_events_value_quantiles_cont,
     "events_value_histogram": q_events_value_histogram,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
@@ -3353,6 +3396,7 @@ ORACLE_SQL["dedup_cc_pairs"] = _CC_PAIRS_ORACLE
 ORACLE_SQL["text_jaccard_adjacent"] = _JACCARD_ADJACENT_ORACLE
 ORACLE_SQL["decontaminate_docs"] = _DECONTAM_FLAG_ORACLE
 ORACLE_SQL["decontaminate_docs_drop"] = _DECONTAM_DROP_ORACLE
+ORACLE_SQL["pack_documents_seqs"] = _PACK_SEQS_ORACLE
 ORACLE_SQL["text_fingerprint_groups"] = _FINGERPRINT_GROUPS_ORACLE
 ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()
 ORACLE_SQL["image_phash_dupgroups"] = f"""
