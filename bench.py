@@ -11,7 +11,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "images_per_sec": ...}
 
-``--scaling`` runs the headline job at 8 and 32 CPUs in fresh
+``--scaling`` runs the headline job at SCALING_CPUS (4 and 16 — see
+the constant's comment for why not 8/32 on this box) in fresh
 subprocesses on the SAME input and reports throughput at both plus
 scaling efficiency (the sandbox proxy for the N→4N-node criterion,
 BASELINE.md "Sandbox measurement protocol").
