@@ -67,6 +67,38 @@ def quality_score(col) -> pa.Array:
     return pc.max_element_wise(pc.min_element_wise(score, 1.0), 0.0)
 
 
+def token_repetition_ratio(col) -> pa.Array:
+    """Per-document token repetition: ``1 − distinct_tokens / tokens``
+    over the lowercased whitespace split (0.0 for ≤1-token docs) — the
+    Gopher-style repetitiousness ingredient of a quality filter; high
+    values mean boilerplate / keyword-stuffing.
+
+    Fully vectorized across the batch: tokens hash via ``polyhash_utf8``
+    straight over the Arrow buffers, one ``lexsort((hash, doc))`` and a
+    boundary scan count distinct-per-doc for every document at once —
+    no per-document Python (collision tolerance ~2^-64, the same as the
+    shingle/fingerprint lanes)."""
+    tok_list = pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(col, "")))
+    )
+    lens = pc.list_value_length(tok_list).to_numpy(zero_copy_only=False)
+    n_docs = len(lens)
+    flat = pc.list_flatten(tok_list)
+    if len(flat) == 0:
+        return pa.array(np.zeros(n_docs), pa.float64())
+    h = polyhash_utf8(flat)
+    d = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    order = np.lexsort((h, d))
+    hs, ds = h[order], d[order]
+    new_group = np.empty(len(hs), dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+    distinct = np.bincount(ds[new_group], minlength=n_docs)
+    safe = np.maximum(lens, 1)
+    out = np.where(lens == 0, 0.0, 1.0 - distinct / safe)
+    return pa.array(out, pa.float64())
+
+
 def detect_language(col) -> pa.Array:
     """Stopword/charset language-ID heuristic over {en,de,fr,es,zh}.
 

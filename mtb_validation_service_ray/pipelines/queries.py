@@ -2198,6 +2198,52 @@ ORDER BY d.doc_id
 """
 
 
+def q_text_repetition(sf_dir: str):
+    """Token repetition ratio (1 − distinct/total tokens — the
+    Gopher-style repetitiousness quality ingredient), hash-checked:
+    DuckDB recomputes it from ``list_distinct`` over the same
+    whitespace-normalized lowercase split; the engine counts distinct
+    per doc with ONE batch-wide lexsort + boundary scan
+    (functions/textfn.py::token_repetition_ratio)."""
+    from ..functions.textfn import token_repetition_ratio
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _ws_norm_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        r = token_repetition_ratio(batch.column("text"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "rep_ratio": pa.array(
+                    _round_away(r.to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return _as_table(
+        ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by([("doc_id", "ascending")])
+
+
+_TEXT_REPETITION_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(regexp_replace(lower(text),
+               '__WS__', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       ROUND(COALESCE(
+           1.0 - CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t),
+           0.0), 6) AS rep_ratio
+FROM documents d LEFT JOIN toks t USING (doc_id)
+ORDER BY d.doc_id
+""".replace("__WS__", _WS_NORM_SQL)
+
+
 def q_pack_documents_seqs(sf_dir: str):
     """Sequence packing, hash-checked: assign every document to a
     fixed 512-token training sequence via the distributed ordered
@@ -3359,6 +3405,7 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "decontaminate_docs_drop": q_decontaminate_docs_drop,
     "pack_documents_seqs": q_pack_documents_seqs,
+    "text_repetition": q_text_repetition,
     "events_value_quantiles_cont": q_events_value_quantiles_cont,
     "events_value_histogram": q_events_value_histogram,
     "events_value_quantiles_exact": q_events_value_quantiles_exact,
@@ -3397,6 +3444,7 @@ ORACLE_SQL["text_jaccard_adjacent"] = _JACCARD_ADJACENT_ORACLE
 ORACLE_SQL["decontaminate_docs"] = _DECONTAM_FLAG_ORACLE
 ORACLE_SQL["decontaminate_docs_drop"] = _DECONTAM_DROP_ORACLE
 ORACLE_SQL["pack_documents_seqs"] = _PACK_SEQS_ORACLE
+ORACLE_SQL["text_repetition"] = _TEXT_REPETITION_ORACLE
 ORACLE_SQL["text_fingerprint_groups"] = _FINGERPRINT_GROUPS_ORACLE
 ORACLE_SQL["image_issue_subtrees"] = _image_subtrees_oracle_sql()
 ORACLE_SQL["image_phash_dupgroups"] = f"""

@@ -54,6 +54,37 @@ def test_language_id_heuristic():
     assert detect_language(col).to_pylist() == ["en", "de", "fr", "es", "zh", "und"]
 
 
+def test_token_repetition_ratio():
+    from mtb_validation_service_ray.functions.textfn import (
+        token_repetition_ratio,
+    )
+
+    col = pa.array(
+        [
+            "a b c d",          # all distinct
+            "a a a a",          # one distinct of four
+            "A a  B b",         # case/extra-space insensitive → 0.5
+            "solo",             # single token
+            "",                 # no tokens
+            None,               # null
+            "x y x y x",        # 2 distinct of 5
+        ]
+    )
+    got = token_repetition_ratio(col).to_pylist()
+    assert got == [0.0, 0.75, 0.5, 0.0, 0.0, 0.0, 0.6]
+    # brute-force agreement on a random batch
+    rng = np.random.default_rng(2)
+    texts = [
+        " ".join(rng.choice(["p", "q", "r", "s"], rng.integers(1, 12)))
+        for _ in range(50)
+    ]
+    got = token_repetition_ratio(pa.array(texts)).to_pylist()
+    expect = [
+        1.0 - len(set(t.split())) / len(t.split()) for t in texts
+    ]
+    assert np.allclose(got, expect)
+
+
 def test_fingerprint_normalizes_whitespace_and_case():
     col = pa.array(["Hello   World", "hello world", "hello  world ", "different"])
     f = fingerprint64(col).to_pylist()
